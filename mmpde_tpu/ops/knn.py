@@ -1,0 +1,82 @@
+"""Device-native k-nearest-neighbor search with fixed degree.
+
+Replaces three native dependencies of the reference with one XLA-friendly
+primitive:
+  * torch_cluster.knn_graph (CUDA)      — reference data_creator_2d.py:260
+  * torch_cluster.radius_graph (CUDA)   — reference data_creator_2d.py:258
+  * sklearn NearestNeighbors (CPU, inside the training hot loop!)
+                                        — reference data_creator_2d.py:66-78
+
+Fixed-degree [N, k] neighbor indices keep every shape static so the whole
+graph-construction -> forward -> loss path jit-compiles once.  Distances are
+computed as ||a||^2 + ||b||^2 - 2 a.b so the N x M term rides the MXU; for
+the mesh sizes in play (N ~ 2.5k) the full distance matrix is ~25 MB in f32
+and XLA tiles it without help.  A Pallas-blocked variant can slot in here
+for much larger meshes without changing callers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(query: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """[Q, d] x [N, d] -> [Q, N] squared distances.
+
+    For low-dimensional coordinates (d <= 4, always the case here) the direct
+    difference is used: it is exact in f32 where the |a|^2+|b|^2-2ab matmul
+    form suffers catastrophic cancellation on near-ties, and the VPU handles
+    the [Q, N, d] elementwise block easily.  Higher dims fall back to the
+    MXU inner-product form.
+    """
+    if query.shape[-1] <= 4:
+        diff = query[:, None, :] - points[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    qn = jnp.sum(query ** 2, axis=-1, keepdims=True)         # [Q, 1]
+    pn = jnp.sum(points ** 2, axis=-1, keepdims=True).T      # [1, N]
+    cross = query @ points.T                                  # [Q, N] on MXU
+    return jnp.maximum(qn + pn - 2.0 * cross, 0.0)
+
+
+def knn_query(points: jnp.ndarray, query: jnp.ndarray, k: int,
+              exclude_self: bool = False) -> jnp.ndarray:
+    """Indices of the k nearest ``points`` for each ``query`` row.
+
+    points: [N, 2], query: [Q, 2] -> int32 [Q, k].
+    ``exclude_self`` masks exact coordinate coincidence the way
+    knn_graph(loop=False) drops self-loops.
+    """
+    d = _pairwise_sqdist(query, points)
+    if exclude_self:
+        d = jnp.where(d <= 1e-12, jnp.inf, d)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Fixed-degree kNN graph: [N, 2] -> [N, k] neighbor indices (no loops).
+
+    Equivalent to torch_cluster.knn_graph(points, k, loop=False) expressed as
+    a dense per-node neighbor list (every node has exactly k in-neighbors).
+    """
+    n = points.shape[0]
+    d = _pairwise_sqdist(points, points)
+    d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)  # drop self-loops
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def radius_neighbors(points: jnp.ndarray, radius, max_k: int):
+    """Radius graph padded to fixed degree: ([N, max_k] idx, [N, max_k] mask).
+
+    Neighbors beyond ``radius`` are masked out (mask False); callers take
+    masked means.  Equivalent of torch_cluster.radius_graph with the
+    variable degree padded for static shapes.
+    """
+    n = points.shape[0]
+    d = _pairwise_sqdist(points, points)
+    d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
+    neg, idx = jax.lax.top_k(-d, max_k)
+    mask = (-neg) <= radius ** 2
+    return idx.astype(jnp.int32), mask
