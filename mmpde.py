@@ -1,0 +1,266 @@
+"""MM-PDE solver training CLI.
+
+Same argument surface as the reference mmpde.py (reference: mmpde.py:322-376)
+on top of the TPU-native mmpde_tpu framework: the full per-batch pipeline
+(window slicing, frozen-DMM mesh movement, device kNN, learned interpolation,
+two GNN branches, loss, AdamW update) runs as one jitted XLA program.
+
+Run commands (README.md:36-54 parity):
+    python mmpde.py --lr 6e-4                      # full MM-PDE, Burgers
+    python mmpde.py --lr 6e-4 --moving_mesh False  # plain GNN ablation
+    python mmpde.py --experiment cy --base_resolution 30,2521
+    python mmpde.py --model BaseCNN                # CNN baseline
+"""
+
+import argparse
+import os
+from datetime import datetime
+
+import numpy as np
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train a PDE solver")
+    parser.add_argument('--seed', default=1, type=int, help='random seed')
+    parser.add_argument('--device', type=str, default='tpu',
+                        help='Used device (informational; jax selects)')
+    parser.add_argument('--experiment', type=str, default='burgers',
+                        help='Experiment for PDE solver should be trained: [burgers, cy]')
+    parser.add_argument('--model', type=str, default='GNN',
+                        help='Model used as PDE solver: [GNN, BaseCNN]')
+    parser.add_argument('--moving_mesh', type=eval, default=True,
+                        help='Use moving mesh method')
+    parser.add_argument('--itpnet_node1', type=lambda s: [int(i) for i in s.split(',')],
+                        default=[128, 64], help="nodes of ItpNet1")
+    parser.add_argument('--itpnet_node2', type=lambda s: [int(i) for i in s.split(',')],
+                        default=[128, 64], help="nodes of ItpNet2")
+    parser.add_argument('--res_cut_node', type=lambda s: [int(i) for i in s.split(',')],
+                        default=[1, 4, 16, 4, 1], help="nodes of residual cut network")
+    parser.add_argument('--hidden_channels', type=int, default=40,
+                        help="number of hidden channels of CNN")
+    parser.add_argument('--batch_size', type=int, default=6,
+                        help='Number of samples in each minibatch')
+    parser.add_argument('--num_epochs', type=int, default=80,
+                        help='Number of training epochs')
+    parser.add_argument('--lr', type=float, default=2e-3, help='Learning rate')
+    parser.add_argument('--lr_decay', type=float, default=0.4,
+                        help='multistep lr decay')
+    parser.add_argument('--base_resolution', type=lambda s: [int(i) for i in s.split(',')],
+                        default=[31, 48, 48],
+                        help="PDE base resolution on which network is applied")
+    parser.add_argument('--neighbors', type=int, default=35,
+                        help="Neighbors to be considered in GNN solver")
+    parser.add_argument('--connect_edge', type=str, default='knn',
+                        help='The way to connect edge: [knn, radius]')
+    parser.add_argument('--time_window', type=int, default=1,
+                        help="Time steps to be considered in GNN solver")
+    parser.add_argument('--unrolling', type=int, default=0,
+                        help="Unrolling which proceeds with each epoch")
+    parser.add_argument('--print_interval', type=int, default=2,
+                        help='Interval between print statements')
+    parser.add_argument('--log', type=eval, default=True,
+                        help='pip the output to log file')
+    # extensions beyond the reference surface
+    parser.add_argument('--dmm_checkpoint', type=str, default=None,
+                        help='DMM checkpoint dir (default: {experiment}_checkpoint)')
+    parser.add_argument('--data_root', type=str, default='data',
+                        help='dataset cache directory')
+    parser.add_argument('--inner_loops', type=int, default=None,
+                        help='inner loader passes per epoch (default: t_res, '
+                             'as the reference)')
+    parser.add_argument('--n_traj', type=int, default=100,
+                        help='trajectories to generate if dataset missing')
+    return parser.parse_args(argv)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mmpde_tpu.data import load_experiment
+    from mmpde_tpu.models import DMM, MPSolver2D, ItpNet, BaseCNN
+    from mmpde_tpu.solver.data import GraphPipeline
+    from mmpde_tpu.solver import train as T
+    from mmpde_tpu.utils import save_checkpoint, load_checkpoint, MetricLogger
+    from mmpde_tpu import ops
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    pde, u_train, u_test = load_experiment(
+        args.experiment, args.base_resolution, data_root=args.data_root,
+        n_traj=args.n_traj)
+    print(f'Training on dataset of {args.experiment} '
+          f'(train {u_train.shape}, test {u_test.shape}) on {jax.devices()[0]}')
+
+    pipe = GraphPipeline(pde, neighbors=args.neighbors,
+                         connect_edge=args.connect_edge,
+                         time_window=args.time_window,
+                         t_resolution=args.base_resolution[0])
+
+    if args.model == 'BaseCNN':
+        args.moving_mesh = False
+
+    # ---- frozen DMM + ItpNet (moving-mesh path, mmpde.py:186-201) ----
+    dmm = dmm_vars = itp = None
+    dmm_grid = dmm_nbr = None
+    itp_params = None
+    if args.moving_mesh:
+        ckpt_path = args.dmm_checkpoint or f'{args.experiment}_checkpoint'
+        if not os.path.isdir(ckpt_path):
+            raise FileNotFoundError(
+                f"DMM checkpoint '{ckpt_path}' not found — train it first "
+                f"with: python dmm.py --experiment {args.experiment}")
+        raw_state, dmm_cfg = load_checkpoint(ckpt_path)
+        arch = dmm_cfg["arch"]
+        dmm = DMM(mode=arch["mode"], branch_layer=(
+                      arch["branch_layer"] if isinstance(arch["branch_layer"], int)
+                      else tuple(arch["branch_layer"])),
+                  trunk_layer=tuple(arch["trunk_layer"]),
+                  out_layer=tuple(arch["out_layer"]),
+                  n_nodes=arch.get("n_nodes"))
+        dmm_vars = {"params": raw_state["params"]}
+        if "batch_stats" in raw_state and raw_state["batch_stats"]:
+            dmm_vars["batch_stats"] = raw_state["batch_stats"]
+        if dmm.mode == "graph":
+            dmm_grid = pipe.grid
+            dmm_nbr = ops.knn_indices(dmm_grid, 35)
+
+        if args.experiment == 'cy':
+            itp = ItpNet(ori_nx=pde.ori_grid_size[1], ori_ny=None,
+                         layers1=tuple(args.itpnet_node1),
+                         layers2=tuple(args.itpnet_node2))
+        else:
+            itp = ItpNet(ori_nx=pde.ori_grid_size[-2],
+                         ori_ny=pde.ori_grid_size[-1],
+                         layers1=tuple(args.itpnet_node1),
+                         layers2=tuple(args.itpnet_node2),
+                         res_cut_node=tuple(args.res_cut_node))
+        # init all three sub-networks and merge their parameter trees
+        k1, k2, k3 = jax.random.split(key, 3)
+        nbq = jnp.ones((1, 2, 30, 2))
+        qq = jnp.ones((1, 2, 1, 2))
+        p1 = itp.init(k1, nbq, qq, '1')["params"]
+        p2 = itp.init(k2, nbq, qq, '2')["params"]
+        if args.experiment == 'cy':
+            dsample = jnp.ones((1, pde.ori_grid_size[1]))
+        else:
+            dsample = jnp.ones((1, args.time_window,
+                                pde.ori_grid_size[-2], pde.ori_grid_size[-1]))
+        p3 = itp.init(k3, None, None, 'res_cut', dsample)["params"]
+        itp_params = {**p1, **p2, **p3}
+
+    # ---- solver models (mmpde.py:238-255) ----
+    n_nodes = pipe.n_nodes
+    tw = args.time_window
+    solver_kw = dict(time_window=tw, dt=pde.dt, lx=pde.Lx, ly=pde.Ly,
+                     tmax=pde.tmax)
+    u_s = jnp.ones((2, n_nodes, tw))
+    pos_s = jnp.ones((2, n_nodes, 3))
+
+    params = {}
+    batch_stats = {}
+    if args.model == 'GNN':
+        model = MPSolver2D(**solver_kw)
+        v = model.init(jax.random.PRNGKey(args.seed), u_s, pos_s,
+                       pipe.uniform_nbr)
+        params['model'] = v['params']
+        batch_stats['model'] = v['batch_stats']
+        model_b = None
+        if args.moving_mesh:
+            model_b = MPSolver2D(**solver_kw)
+            vb = model_b.init(jax.random.PRNGKey(args.seed + 1), u_s, pos_s,
+                              pipe.uniform_nbr)
+            params['model_b'] = vb['params']
+            batch_stats['model_b'] = vb['batch_stats']
+            params['itp'] = itp_params
+    elif args.model == 'BaseCNN':
+        model = BaseCNN(time_window=tw, hidden_channels=args.hidden_channels,
+                        dt=pde.dt)
+        nx, ny = args.base_resolution[1], args.base_resolution[2]
+        v = model.init(jax.random.PRNGKey(args.seed),
+                       jnp.ones((2, tw, nx, ny)))
+        params['model'] = v['params']
+        model_b = None
+    else:
+        raise Exception("Wrong model specified")
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    print(f'Number of parameters: {n_params}')
+
+    # ---- optimizer (mmpde.py:268-274) ----
+    optimizer = T.make_optimizer(args.lr)
+    opt_state = optimizer.init(params)
+    state = T.TrainState(params=params, batch_stats=batch_stats,
+                         opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+    milestones = [args.unrolling, 30, 50, 70]
+
+    if args.model == 'GNN':
+        step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
+                                  dmm, dmm_vars, dmm_grid, dmm_nbr, train=True)
+        eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
+                                  dmm, dmm_vars, dmm_grid, dmm_nbr, train=False)
+    else:
+        step_fn = T.make_cnn_step(pipe, model, optimizer, train=True)
+        eval_fn = T.make_cnn_step(pipe, model, None, train=False)
+
+    timestring = datetime.now().strftime('%m-%d-%H-%M-%S')
+    save_path = (f'models/{args.model}_PDE_{args.experiment}_mesh{args.moving_mesh}'
+                 f'_xresolution{args.base_resolution[0]}-{args.base_resolution[1]}'
+                 f'_n{args.neighbors}_{args.connect_edge}_tw{args.time_window}'
+                 f'_unrolling{args.unrolling}_time{timestring}')
+    os.makedirs('models', exist_ok=True)
+    logger = MetricLogger(os.path.join(
+        'logs', f'{args.experiment}_{args.model}_{timestring}'))
+    print(save_path)
+
+    itp_step = None
+    if args.moving_mesh and args.model == 'GNN':
+        itp_step = T.make_itp_step(pipe, optimizer, itp, dmm, dmm_vars,
+                                   dmm_grid, dmm_nbr)
+
+    n_inner = args.inner_loops
+    test_losses = []
+    for epoch in range(args.num_epochs):
+        print(f'Epoch {epoch}')
+        state = T.set_lr(state, T.multistep_lr(args.lr, epoch, milestones,
+                                               args.lr_decay))
+        max_unroll = min(epoch, args.unrolling)
+
+        # epoch-0 ItpNet reconstruction pretraining (mmpde.py:87-92)
+        if itp_step is not None and epoch == 0:
+            for i in range(n_inner or pipe.t_res):
+                for batch in T.iterate_batches(rng, u_train, args.batch_size):
+                    steps = T.random_start_steps(rng, pipe, 0, len(batch))
+                    state, l_itp = itp_step(state, jnp.asarray(batch),
+                                            jnp.asarray(steps))
+                if i % args.print_interval == 0:
+                    print(f'Training ItpNet Loss (progress: '
+                          f'{i / (n_inner or pipe.t_res):.2f}): {float(l_itp)}')
+
+        state, train_loss = T.train_epoch(rng, pipe, step_fn, state, u_train,
+                                          args.batch_size, max_unroll,
+                                          n_inner=n_inner)
+        print(f'Training Loss: {train_loss}')
+        print('Testing:')
+        test_loss = T.test_timestep_losses(pipe, eval_fn, state, u_test,
+                                           args.batch_size)
+        print(f'Mean Timestep Test Error: {test_loss}')
+        test_losses.append(test_loss)
+        logger.log(epoch, train_loss=train_loss, test_loss=test_loss)
+
+        save_checkpoint(save_path, {
+            "params": state.params, "batch_stats": state.batch_stats,
+        }, config={"args": vars(args), "test_losses": test_losses})
+        print(f'Saved model at {save_path}\n')
+
+    print(f'Test loss: {min(test_losses) if test_losses else float("nan")}')
+    logger.close()
+    return test_losses
+
+
+if __name__ == "__main__":
+    args = get_args()
+    print(args)
+    main(args)

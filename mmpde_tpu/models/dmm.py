@@ -1,0 +1,124 @@
+"""Data-free Mesh Mover: DeepONet-style branch/trunk operator network.
+
+Equivalent of the reference ``DMM`` (mesh/dmm_model.py:145-219).  The network
+maps a solution snapshot ``u`` and a query point ``xi in [0,1]^2`` to a
+scalar potential ``phi(u, xi)``; the moved mesh is ``x = xi + grad_xi phi``
+(reference: data_creator_2d.py:104-107), which guarantees a curl-free map.
+
+TPU-first structure:
+
+* ``branch_features`` runs ONCE per snapshot (conv stack in array mode or a
+  GNN encoder in graph mode) — it does not depend on xi, so the derivative
+  path never re-enters it.
+* ``phi_given_branch`` is a pure scalar function of (features, xi) built from
+  the tanh trunk + head; the Monge-Ampere loss takes ``jax.grad`` /
+  ``jax.hessian`` of it w.r.t. the 2-D coordinate — forward-over-reverse on
+  a width-2 input, replacing the reference's six chained
+  ``torch.autograd.grad`` calls (mesh/dmm_utils.py:520-532).
+* graph mode takes the static mesh coordinates and precomputed kNN(35)
+  neighbor indices as arguments — the reference rebuilds knn_graph every
+  forward (mesh/dmm_model.py:228); on a fixed mesh the graph is constant.
+
+``rf=True`` additionally returns the penultimate trunk-head features used by
+the random-feature last-layer refit (reference: mesh/dmm_utils.py:884-945).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmpde_tpu.models.convnet import ConvBranchNet
+from mmpde_tpu.models.gnn import GNNLayer, _NodeNorm
+from mmpde_tpu.models.mlp import DenseNet
+
+
+class _GraphBranch(nn.Module):
+    """GNN encoder over the fixed triangular mesh (mesh/dmm_model.py:154-181).
+
+    u [b, n] + grid [n, 2] + nbr [n, k] -> latent [b, trunk_out].
+    """
+
+    hidden_features: int
+    hidden_layer: int
+    n_nodes: int
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, u, grid, nbr, train: bool = False):
+        b, n = u.shape
+        pos_x = jnp.broadcast_to(grid[None, :, 0:1], (b, n, 1))
+        pos_y = jnp.broadcast_to(grid[None, :, 1:2], (b, n, 1))
+        x = u[..., None]
+        node_input = jnp.concatenate([x, pos_x, pos_y], axis=-1)
+
+        h = nn.Dense(self.hidden_features, name="embed_0")(node_input)
+        h = _NodeNorm(name="embed_norm_0")(h, train)
+        h = jnp.tanh(h)
+        h = nn.Dense(self.hidden_features, name="embed_1")(h)
+        h = _NodeNorm(name="embed_norm_1")(h, train)
+
+        novars = jnp.zeros(u.shape + (0,), dtype=h.dtype)
+        for i in range(self.hidden_layer):
+            h = GNNLayer(self.hidden_features, name=f"gnn_{i}")(
+                h, x, pos_x, pos_y, novars, nbr, train, act=jnp.tanh)
+
+        dec, _ = DenseNet([self.hidden_features, 128, 1],
+                          name="decoding_mlp")(h)
+        dec = dec.reshape(b, n)
+        # output_mlp: n -> 512 -> 256 -> latent (mesh/dmm_model.py:175-181)
+        z = jnp.tanh(nn.Dense(512, name="out_mlp_0")(dec))
+        z = jnp.tanh(nn.Dense(256, name="out_mlp_1")(z))
+        return nn.Dense(self.latent_dim, name="out_mlp_2")(z)
+
+
+class DMM(nn.Module):
+    """mode 'array' (Burgers grid) or 'graph' (cylinder mesh)."""
+
+    mode: str = "array"
+    # array mode: 7 selects the reference ConvNet stack; graph mode:
+    # (hidden_features, n_message_passing_layers), default [4, 3]
+    branch_layer: Any = 7
+    trunk_layer: Sequence[int] = (2, 32, 512)
+    out_layer: Sequence[int] = (1024, 512, 1)
+    n_nodes: Optional[int] = None  # graph mode only
+
+    def setup(self):
+        latent = self.trunk_layer[-1]
+        if self.mode == "array":
+            assert self.branch_layer == 7, "only the 7-layer ConvNet variant exists"
+            self.branch = ConvBranchNet(fc_hidden=1024, latent_dim=latent)
+        elif self.mode == "graph":
+            h, layers = self.branch_layer
+            self.branch = _GraphBranch(hidden_features=h, hidden_layer=layers,
+                                       n_nodes=self.n_nodes, latent_dim=latent)
+        else:
+            raise ValueError(f"unknown DMM mode {self.mode!r}")
+        self.trunk = DenseNet(self.trunk_layer)
+        self.out_nn = DenseNet(self.out_layer)
+
+    def branch_features(self, u, grid=None, nbr=None, train: bool = False):
+        """u -> latent features [b, latent]; xi-independent."""
+        if self.mode == "array":
+            return self.branch(u)
+        return self.branch(u, grid, nbr, train)
+
+    def phi_given_branch(self, feat, xi, rf: bool = False):
+        """Pure scalar head: feat [..., latent], xi [..., 2] -> phi [...].
+
+        Differentiable w.r.t. xi; broadcast feat against xi's batch dims.
+        """
+        trunk, _ = self.trunk(xi)
+        feat = jnp.broadcast_to(feat, trunk.shape[:-1] + feat.shape[-1:])
+        out, second = self.out_nn(jnp.concatenate([feat, trunk], axis=-1))
+        if rf:
+            return out[..., 0], second
+        return out[..., 0]
+
+    def __call__(self, u, xi, grid=None, nbr=None, train: bool = False,
+                 rf: bool = False):
+        """u [b, ...], xi [b, q, 2] -> phi [b, q] (+ second_out if rf)."""
+        feat = self.branch_features(u, grid, nbr, train)
+        return self.phi_given_branch(feat[:, None, :], xi, rf=rf)

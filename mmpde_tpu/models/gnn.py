@@ -123,15 +123,23 @@ class MPSolver2D(nn.Module):
                 h, u, pos_x, pos_y, variables, nbr, train, mask)
 
         # Conv1d decoder over the feature axis (gnn_2d.py:108-114):
-        # (1,4,k16,s3) -> (4,8,k12,s3) -> (8,1,k8,s2), 128 features -> 1
-        x = h.reshape(b * n, self.hidden_features, 1)
-        x = nn.relu(nn.Conv(4, kernel_size=(16,), strides=(3,),
-                            padding="VALID", name="dec_0")(x))
-        x = nn.relu(nn.Conv(8, kernel_size=(12,), strides=(3,),
-                            padding="VALID", name="dec_1")(x))
-        x = nn.Conv(1, kernel_size=(8,), strides=(2,),
-                    padding="VALID", name="dec_2")(x)
-        diff = x.reshape(b, n, -1)  # [B, N, 1]
+        # (1,4,k16,s3) -> (4,8,k12,s3) -> (8,1,k8,s2), 128 features -> 1.
+        # The reference stack only has positive output lengths for
+        # hidden_features == 128; smaller widths fall back to a Dense head.
+        l1 = (self.hidden_features - 16) // 3 + 1
+        l2 = (l1 - 12) // 3 + 1 if l1 >= 12 else 0
+        l3 = (l2 - 8) // 2 + 1 if l2 >= 8 else 0
+        if l3 >= 1:
+            x = h.reshape(b * n, self.hidden_features, 1)
+            x = nn.relu(nn.Conv(4, kernel_size=(16,), strides=(3,),
+                                padding="VALID", name="dec_0")(x))
+            x = nn.relu(nn.Conv(8, kernel_size=(12,), strides=(3,),
+                                padding="VALID", name="dec_1")(x))
+            x = nn.Conv(1, kernel_size=(8,), strides=(2,),
+                        padding="VALID", name="dec_2")(x)
+            diff = x.reshape(b, n, -1)[..., :1]  # [B, N, 1]
+        else:
+            diff = nn.Dense(1, name="dec_dense")(h)  # [B, N, 1]
 
         dt = jnp.cumsum(jnp.full((self.time_window,), self.dt * 0.1,
                                  dtype=diff.dtype))

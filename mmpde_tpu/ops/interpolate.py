@@ -37,9 +37,12 @@ def uniform_grid(n: int, indexing: str = "ij") -> jnp.ndarray:
 def _idw_weights(src: jnp.ndarray, query: jnp.ndarray, scale) -> jnp.ndarray:
     """softmax_q(-scale * ||src - query||) over source points.
 
-    src: [n, 2], query: [Q, 2] -> [Q, n]
+    src: [n, 2], query: [Q, 2] -> [Q, n].  Epsilon-guarded norm: its
+    gradient at an exact src/query collision is NaN otherwise (queries are
+    moved-mesh points that can land on grid nodes).
     """
-    d = jnp.linalg.norm(src[None, :, :] - query[:, None, :], axis=-1)
+    diff = src[None, :, :] - query[:, None, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-24)
     return jax.nn.softmax(-d * scale, axis=-1)
 
 

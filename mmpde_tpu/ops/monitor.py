@@ -32,13 +32,17 @@ def diff_y(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([d, d[..., :, -1:]], axis=-1)
 
 
+_NORM_EPS = 1e-24  # keeps sqrt/norm differentiable at exactly-zero gradients
+
+
 def monitor(alpha: jnp.ndarray, ux: jnp.ndarray, uy: jnp.ndarray) -> jnp.ndarray:
     """m = 1 + sqrt(ux^2 + uy^2) / (0.01 * alpha).
 
     (reference: mesh/dmm_utils.py:209-210). ``alpha`` broadcasts against
-    ``ux``/``uy``.
+    ``ux``/``uy``.  The norm is epsilon-guarded: d/dx sqrt(x) at 0 is inf and
+    poisons the backward pass wherever the field is exactly flat.
     """
-    return 1.0 + jnp.sqrt(ux ** 2 + uy ** 2) / (0.01 * alpha)
+    return 1.0 + jnp.sqrt(ux ** 2 + uy ** 2 + _NORM_EPS) / (0.01 * alpha)
 
 
 def monitor_stats(u: jnp.ndarray):
@@ -54,7 +58,7 @@ def monitor_stats(u: jnp.ndarray):
     s = u.shape[-1]
     ux = diff_x(u) * (s - 1)
     uy = diff_y(u) * (s - 1)
-    gnorm = jnp.sqrt(ux ** 2 + uy ** 2)
+    gnorm = jnp.sqrt(ux ** 2 + uy ** 2 + _NORM_EPS)
     alpha = jnp.sum(gnorm, axis=(-2, -1)) / (s - 1) ** 2
     m = monitor(alpha[..., None, None], ux, uy)
     rhs = jnp.sum(m, axis=(-2, -1)) / (s - 1) ** 2

@@ -1,0 +1,202 @@
+"""Graph/data construction for the MM-PDE solver.
+
+TPU-native equivalent of the reference ``GraphCreator_FS_2D``
+(data_creator_2d.py:18-305), with the structural fixes the hardware wants:
+
+* The uniform-mesh graph is CONSTANT — its kNN neighbor table is computed
+  once at pipeline construction, not per step (the reference rebuilds
+  knn_graph on every batch, data_creator_2d.py:260).
+* Moved-mesh kNN interpolation runs on device via ops.knn_query — the
+  reference round-trips through sklearn NearestNeighbors on CPU inside the
+  training hot loop (data_creator_2d.py:66-78).
+* All outputs are dense [B, N, ...] arrays with static shapes, so the whole
+  create_data -> mesh movement -> interpolation -> GNN forward -> loss path
+  lives inside one jit.
+
+The moved mesh is treated as a constant w.r.t. the optimizer (the DMM is
+frozen during solver training, mmpde.py:200-201), so it is wrapped in
+stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmpde_tpu import ops
+from mmpde_tpu.models.dmm import DMM
+from mmpde_tpu.models.itpnet import ItpNet
+from mmpde_tpu.dmm.geometry import branch_features, phi_derivatives
+from mmpde_tpu.pdes import PDE
+
+
+class GraphPipeline:
+    """Static graph/mesh state + pure jittable methods.
+
+    Equivalent surface to GraphCreator_FS_2D: create_data, uniform_graph /
+    moved_graph (together replacing create_graph), interpolate_pred.
+    """
+
+    def __init__(self, pde: PDE, neighbors: int = 35,
+                 connect_edge: str = "knn", time_window: int = 1,
+                 t_resolution: int = 31, n_itp_neighbors: int = 30):
+        self.pde = pde
+        self.n = neighbors
+        self.e = connect_edge
+        self.tw = time_window
+        self.t_res = t_resolution
+        self.n_itp = n_itp_neighbors
+        self.is_grid = len(pde.grid_size) == 3
+
+        if self.is_grid:
+            nx, ny = pde.grid_size[1], pde.grid_size[2]
+            xs = np.linspace(0, pde.Lx, nx)
+            ys = np.linspace(0, pde.Ly, ny)
+            gx, gy = np.meshgrid(xs, ys, indexing="ij")
+            self.grid = jnp.asarray(
+                np.stack([gx.ravel(), gy.ravel()], -1), dtype=jnp.float32)
+            dx, dy = xs[1] - xs[0], ys[1] - ys[0]
+            self.radius = self.n * float(np.sqrt(dx ** 2 + dy ** 2)) + 1e-4
+        else:
+            self.grid = jnp.asarray(pde.ori_grid, dtype=jnp.float32)
+            n_side = int(np.sqrt(pde.grid_size[1]))
+            dx = pde.Lx / max(n_side - 1, 1)
+            self.radius = self.n * float(np.sqrt(2.0)) * dx + 1e-4
+
+        self.n_nodes = self.grid.shape[0]
+        # static uniform-mesh connectivity (computed once)
+        if connect_edge == "knn":
+            self.uniform_nbr = ops.knn_indices(self.grid, self.n)
+            self.uniform_mask = None
+        elif connect_edge == "radius":
+            idx, mask = ops.radius_neighbors(self.grid, self.radius,
+                                             max_k=4 * self.n)
+            self.uniform_nbr, self.uniform_mask = idx, mask
+        else:
+            raise ValueError(f"unknown connect_edge {connect_edge!r}")
+
+        self.times = jnp.linspace(pde.tmin, pde.tmax, pde.grid_size[0])
+
+    # ---------------- data windows ----------------
+
+    def create_data(self, u_traj: jnp.ndarray, steps: jnp.ndarray):
+        """Slice (tw history, tw label) windows (reference
+        data_creator_2d.py:139-154).
+
+        u_traj [B, T, ...], steps [B] -> data [B, tw, ...], labels [B, tw, ...]
+        """
+        tw = self.tw
+
+        def one(traj, step):
+            d = jax.lax.dynamic_slice_in_dim(traj, step - tw, tw, axis=0)
+            l = jax.lax.dynamic_slice_in_dim(traj, step, tw, axis=0)
+            return d, l
+
+        return jax.vmap(one)(u_traj, steps)
+
+    # ---------------- node features ----------------
+
+    def _node_fields(self, data, labels):
+        """[B, tw, ...spatial] -> node-major [B, N, tw]."""
+        b = data.shape[0]
+        u = data.reshape(b, self.tw, self.n_nodes)
+        y = labels.reshape(b, self.tw, self.n_nodes)
+        return jnp.swapaxes(u, 1, 2), jnp.swapaxes(y, 1, 2)
+
+    def _pos(self, mesh, steps):
+        """mesh [B, N, 2], steps [B] -> pos [B, N, 3] = (t, x, y)."""
+        t = self.times[steps][:, None, None]
+        t = jnp.broadcast_to(t, mesh.shape[:2] + (1,))
+        return jnp.concatenate([t, mesh], axis=-1)
+
+    def uniform_graph(self, data, labels, steps):
+        """Uniform-mesh graph: (u [B,N,tw], y [B,N,tw], pos [B,N,3])."""
+        u, y = self._node_fields(data, labels)
+        mesh = jnp.broadcast_to(self.grid[None], (u.shape[0],) + self.grid.shape)
+        return u, y, mesh, self._pos(mesh, steps)
+
+    # ---------------- moved mesh ----------------
+
+    def moved_mesh(self, dmm: DMM, dmm_vars, data,
+                   dmm_grid=None, dmm_nbr=None):
+        """DMM mesh movement for each history window (frozen DMM).
+
+        data [B, tw, ...spatial] -> mesh [B, N, 2].  Uses the most recent
+        history slice as the DMM input (tw = 1 in all reference configs;
+        data_creator_2d.py:198 flattens B*tw — identical for tw == 1).
+        """
+        b = data.shape[0]
+        if self.is_grid:
+            u_in = data.reshape(b, self.tw, data.shape[-2], data.shape[-1])[:, -1]
+            mm = self.pde.movingmesh_grid_size
+            if u_in.shape[-2] != mm[-2] or u_in.shape[-1] != mm[-1]:
+                u_in = jax.image.resize(u_in, (b, mm[-2], mm[-1]), "linear")
+        else:
+            u_in = data.reshape(b, self.tw, self.n_nodes)[:, -1]
+        xi = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
+        feat = branch_features(dmm, dmm_vars, u_in, dmm_grid, dmm_nbr,
+                               train=False)
+        _, grad = phi_derivatives(dmm, dmm_vars, feat, xi, order=1)
+        return jax.lax.stop_gradient(xi + grad)
+
+    # ---------------- learned kNN interpolation ----------------
+
+    def itp_interpolate(self, itp: ItpNet, itp_vars, values, src_pts,
+                        query_pts, mode: str):
+        """Move per-node values between meshes with learned kNN weights.
+
+        values [B, N_src, C], src_pts [B, N_src, 2], query_pts [B, Q, 2]
+        -> [B, Q, C].  (reference: GraphCreator_FS_2D.interpolate,
+        data_creator_2d.py:46-85 — sklearn kNN replaced by device top_k.)
+        """
+        k = self.n_itp
+
+        def neighbors_of(src, q):
+            return ops.knn_query(src, q, k)
+
+        nbr = jax.vmap(neighbors_of)(src_pts, query_pts)        # [B, Q, k]
+        nbr_pts = jax.vmap(lambda s, i: s[i])(src_pts, nbr)     # [B, Q, k, 2]
+        nbr_val = jax.vmap(lambda v, i: v[i])(values, nbr)      # [B, Q, k, C]
+        w = itp.apply(itp_vars, nbr_pts, query_pts[:, :, None, :], mode)
+        return jnp.einsum("bqk,bqkc->bqc", w, nbr_val)
+
+    def moved_graph(self, dmm, dmm_vars, itp, itp_vars, data, labels, steps,
+                    dmm_grid=None, dmm_nbr=None):
+        """Moved-mesh graph with re-interpolated data/labels + dynamic kNN.
+
+        Returns (u [B,N,tw], y [B,N,tw], mesh [B,N,2], pos [B,N,3],
+        nbr [B,N,k]).  (reference: create_graph with mesh_model,
+        data_creator_2d.py:157-267.)
+        """
+        u, y = self._node_fields(data, labels)
+        b = u.shape[0]
+        mesh = self.moved_mesh(dmm, dmm_vars, data, dmm_grid, dmm_nbr)
+        src = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
+        u_m = self.itp_interpolate(itp, itp_vars, u, src, mesh, "1")
+        y_m = self.itp_interpolate(itp, itp_vars, y, src, mesh, "1")
+        nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
+        return u_m, y_m, mesh, self._pos(mesh, steps), nbr
+
+    def interpolate_pred(self, itp, itp_vars, pred, mesh, data):
+        """Moved-mesh prediction -> uniform mesh + residual-cut correction.
+
+        pred [B, N, tw], mesh [B, N, 2], data [B, tw, ...spatial]
+        -> [B, N, tw] on the uniform mesh.
+        (reference: data_creator_2d.py:270-305.)
+        """
+        b = pred.shape[0]
+        query = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
+        pred_grid = self.itp_interpolate(itp, itp_vars, pred, mesh, query, "2")
+        if self.is_grid:
+            nx, ny = self.pde.ori_grid_size[-2], self.pde.ori_grid_size[-1]
+            res = itp.apply(itp_vars, None, None, "res_cut",
+                            data.reshape(b, self.tw, nx, ny))
+            res = res.reshape(b, self.tw, self.n_nodes)
+        else:
+            res = itp.apply(itp_vars, None, None, "res_cut",
+                            data.reshape(b, self.n_nodes))
+            res = res.reshape(b, self.tw, self.n_nodes)
+        return pred_grid + jnp.swapaxes(res, 1, 2)

@@ -1,0 +1,238 @@
+"""Solver training: jitted step functions + epoch drivers.
+
+Equivalent of the reference train_helper_2d.py (training_itp,
+training_loop_branch, test_timestep_losses) and the mmpde.py train/test
+drivers.  The entire per-batch pipeline — window slicing, DMM mesh movement,
+device kNN, learned interpolation, both GNN branches, loss, grads, optimizer
+update — is ONE jitted function; the reference instead crosses the host
+boundary several times per batch (sklearn kNN, python graph assembly).
+
+Divergence from the reference (documented): partial trailing batches are
+dropped (the reference feeds them through, retriggering shape-specialised
+compilation here); with shuffled epoch-level sampling the coverage is
+unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmpde_tpu.models.dmm import DMM
+from mmpde_tpu.models.gnn import MPSolver2D
+from mmpde_tpu.models.itpnet import ItpNet
+from mmpde_tpu.solver.data import GraphPipeline
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float):
+    """AdamW with an externally-set learning rate (epoch-level MultiStepLR
+    is applied by the driver, reference mmpde.py:269-274)."""
+    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
+
+
+def multistep_lr(base_lr: float, epoch: int, milestones, gamma: float) -> float:
+    scale = 1.0
+    for m in milestones:
+        if epoch >= m:
+            scale *= gamma
+    return base_lr * scale
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+    return state.replace(opt_state=opt_state)
+
+
+# ---------------------------------------------------------------- GNN steps
+
+
+def _solver_apply(model: MPSolver2D, params, stats, u, pos, nbr, train, mask):
+    variables = {"params": params, "batch_stats": stats}
+    if train:
+        return model.apply(variables, u, pos, nbr, True, mask,
+                           mutable=["batch_stats"])
+    return model.apply(variables, u, pos, nbr, False, mask), \
+        {"batch_stats": stats}
+
+
+def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
+                  model_b: Optional[MPSolver2D] = None,
+                  itp: Optional[ItpNet] = None,
+                  dmm: Optional[DMM] = None, dmm_vars=None,
+                  dmm_grid=None, dmm_nbr=None, train: bool = True):
+    """Two-branch (or plain) GNN train/eval step.
+
+    pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
+    (reference: train_helper_2d.py:114-121).
+    """
+    moving = model_b is not None
+    mask = pipe.uniform_mask
+
+    def forward(params, batch_stats, u_traj, steps, is_train):
+        data, labels = pipe.create_data(u_traj, steps)
+        u_u, y_u, _, pos_u = pipe.uniform_graph(data, labels, steps)
+        new_stats = dict(batch_stats)
+        if moving:
+            itp_vars = {"params": params["itp"]}
+            u_m, y_m, mesh, pos_m, nbr_m = pipe.moved_graph(
+                dmm, dmm_vars, itp, itp_vars, data, labels, steps,
+                dmm_grid, dmm_nbr)
+            pred_b, st_b = _solver_apply(model_b, params["model_b"],
+                                         batch_stats["model_b"], u_m, pos_m,
+                                         nbr_m, is_train, None)
+            pred_m = pipe.interpolate_pred(itp, itp_vars, pred_b, mesh, data)
+            new_stats["model_b"] = st_b["batch_stats"]
+        pred_u, st = _solver_apply(model, params["model"],
+                                   batch_stats["model"], u_u, pos_u,
+                                   pipe.uniform_nbr, is_train, mask)
+        new_stats["model"] = st["batch_stats"]
+        pred = pred_m + pred_u if moving else pred_u
+        loss = jnp.mean((pred - y_u) ** 2)
+        return loss, new_stats
+
+    if not train:
+        @jax.jit
+        def eval_step(state: TrainState, u_traj, steps):
+            loss, _ = forward(state.params, state.batch_stats, u_traj,
+                              steps, False)
+            return loss
+        return eval_step
+
+    @jax.jit
+    def train_step(state: TrainState, u_traj, steps):
+        (loss, new_stats), grads = jax.value_and_grad(
+            forward, has_aux=True)(state.params, state.batch_stats,
+                                   u_traj, steps, True)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, batch_stats=new_stats,
+                             opt_state=opt_state, step=state.step + 1), loss
+
+    return train_step
+
+
+def make_itp_step(pipe: GraphPipeline, optimizer, itp: ItpNet,
+                  dmm: DMM, dmm_vars, dmm_grid=None, dmm_nbr=None):
+    """ItpNet round-trip reconstruction pretraining step
+    (reference: training_itp, train_helper_2d.py:9-62): interpolate data
+    uniform -> moved mesh -> back (+ res_cut), MSE against the original."""
+
+    def loss_fn(params, u_traj, steps):
+        itp_vars = {"params": params["itp"]}
+        data, labels = pipe.create_data(u_traj, steps)
+        u_m, _, mesh, _, _ = pipe.moved_graph(
+            dmm, dmm_vars, itp, itp_vars, data, labels, steps,
+            dmm_grid, dmm_nbr)
+        u_rec = pipe.interpolate_pred(itp, itp_vars, u_m, mesh, data)
+        u_u, _ = pipe._node_fields(data, labels)
+        return jnp.mean((u_rec - u_u) ** 2)
+
+    @jax.jit
+    def step(state: TrainState, u_traj, steps):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, u_traj, steps)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss
+
+    return step
+
+
+def make_cnn_step(pipe: GraphPipeline, model, optimizer, train: bool = True):
+    """BaseCNN step (reference: train_helper_2d.py:122-124 else-branch)."""
+
+    def loss_fn(params, u_traj, steps):
+        data, labels = pipe.create_data(u_traj, steps)
+        pred = model.apply({"params": params["model"]}, data)
+        return jnp.mean((pred - jnp.squeeze(labels)) ** 2)
+
+    if not train:
+        @jax.jit
+        def eval_step(state: TrainState, u_traj, steps):
+            return loss_fn(state.params, u_traj, steps)
+        return eval_step
+
+    @jax.jit
+    def train_step(state: TrainState, u_traj, steps):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, u_traj, steps)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state,
+                             step=state.step + 1), loss
+
+    return train_step
+
+
+# ------------------------------------------------------------ epoch drivers
+
+
+def iterate_batches(rng: np.random.Generator, u: np.ndarray, batch_size: int,
+                    shuffle: bool = True):
+    """Full batches of trajectories (trailing partial batch dropped; if the
+    dataset is smaller than one batch, the whole set is one batch)."""
+    batch_size = min(batch_size, len(u))
+    idx = rng.permutation(len(u)) if shuffle else np.arange(len(u))
+    for i in range(0, len(u) - batch_size + 1, batch_size):
+        yield u[idx[i:i + batch_size]]
+
+
+def random_start_steps(rng: np.random.Generator, pipe: GraphPipeline,
+                       unrolling: int, batch_size: int) -> np.ndarray:
+    """Random start timesteps with the pushforward-style range shrink
+    (reference: train_helper_2d.py:100-104 — the unrolled rollout itself is
+    never executed, only the sampling range shrinks)."""
+    hi = pipe.t_res - pipe.tw - pipe.tw * unrolling + 1
+    return rng.integers(pipe.tw, hi, size=batch_size)
+
+
+def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
+                max_unrolling: int, n_inner: Optional[int] = None):
+    """One reference 'epoch': t_res passes over the loader
+    (reference: mmpde.py:94-98 + train_helper_2d.py:95-131)."""
+    losses = []
+    n_inner = pipe.t_res if n_inner is None else n_inner
+    for _ in range(n_inner):
+        unrolled = int(rng.integers(0, max_unrolling + 1))
+        for batch in iterate_batches(rng, u_train, batch_size):
+            steps = random_start_steps(rng, pipe, unrolled, len(batch))
+            state, loss = step_fn(state, jnp.asarray(batch),
+                                  jnp.asarray(steps))
+            losses.append(loss)
+    return state, float(jnp.mean(jnp.stack(losses)))
+
+
+def test_timestep_losses(pipe, eval_step, state, u_test, batch_size):
+    """Per-timestep one-step MSE on the test loader, averaged
+    (reference: test_timestep_losses, train_helper_2d.py:137-200; steps
+    iterate tw..t_res-tw filtered to multiples of tw)."""
+    losses_t = []
+    rng = np.random.default_rng(0)
+    for step in range(pipe.tw, pipe.t_res - pipe.tw + 1):
+        if step != pipe.tw and step % pipe.tw != 0:
+            continue
+        losses = []
+        for batch in iterate_batches(rng, u_test, batch_size, shuffle=False):
+            steps = np.full(len(batch), step)
+            losses.append(eval_step(state, jnp.asarray(batch),
+                                    jnp.asarray(steps)))
+        if losses:
+            losses_t.append(float(jnp.mean(jnp.stack(losses))))
+    return float(np.mean(losses_t))

@@ -1,0 +1,164 @@
+"""Solver pipeline integration tests on tiny configurations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mmpde_tpu.models import DMM, MPSolver2D, ItpNet, BaseCNN
+from mmpde_tpu.pdes import burgers
+from mmpde_tpu.solver.data import GraphPipeline
+from mmpde_tpu.solver import train as T
+
+
+NT, NX = 11, 12
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    pde = burgers(grid_size=(NT, NX, NX), tmax=10.0)
+    pde.movingmesh_grid_size = (NT, NX, NX)
+    pde.ori_grid_size = (NT, NX, NX)
+    pipe = GraphPipeline(pde, neighbors=4, time_window=1, t_resolution=NT)
+    rng = np.random.default_rng(0)
+    # smooth random trajectories [8, NT, NX, NX]
+    u = rng.normal(size=(8, NT, 3, 3)).astype(np.float32)
+    u = jax.image.resize(jnp.asarray(u), (8, NT, NX, NX), "cubic")
+    return pde, pipe, np.asarray(u)
+
+
+def test_create_data_windows(tiny_setup):
+    _, pipe, u = tiny_setup
+    steps = jnp.asarray([1, 5, 9])
+    data, labels = pipe.create_data(jnp.asarray(u[:3]), steps)
+    assert data.shape == (3, 1, NX, NX)
+    assert labels.shape == (3, 1, NX, NX)
+    np.testing.assert_allclose(np.asarray(data[1, 0]), u[1, 4], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(labels[1, 0]), u[1, 5], rtol=1e-6)
+
+
+def test_uniform_graph_layout(tiny_setup):
+    _, pipe, u = tiny_setup
+    steps = jnp.asarray([2, 3])
+    data, labels = pipe.create_data(jnp.asarray(u[:2]), steps)
+    un, yn, mesh, pos = pipe.uniform_graph(data, labels, steps)
+    assert un.shape == (2, NX * NX, 1)
+    assert pos.shape == (2, NX * NX, 3)
+    # node p = i*NX + j has coordinates (x_i, y_j)
+    np.testing.assert_allclose(np.asarray(pos[0, NX + 2, 1:]),
+                               [1 / (NX - 1), 2 / (NX - 1)], rtol=1e-5)
+    # time channel = t[step]
+    np.testing.assert_allclose(np.asarray(pos[0, 0, 0]),
+                               2 * 10.0 / (NT - 1), rtol=1e-5)
+
+
+def test_plain_gnn_train_loss_decreases(tiny_setup):
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=2,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"]}
+    stats = {"model": v["batch_stats"]}
+    opt = T.make_optimizer(1e-3)
+    state = T.TrainState(params=params, batch_stats=stats,
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    step_fn = T.make_gnn_step(pipe, model, opt, train=True)
+
+    # fixed windows -> deterministic objective; loss must decrease
+    steps = jnp.asarray([3, 5, 7, 9])
+    losses = []
+    for i in range(40):
+        state, loss = step_fn(state, jnp.asarray(u[:4]), steps)
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_moving_mesh_two_branch_step(tiny_setup):
+    pde, pipe, u = tiny_setup
+    key = jax.random.PRNGKey(0)
+
+    dmm = DMM(mode="array", branch_layer=7, trunk_layer=(2, 16, 32),
+              out_layer=(64, 32, 1))
+    dmm_vars = dmm.init(key, jnp.ones((2, NX, NX)), jnp.zeros((2, 3, 2)))
+
+    itp = ItpNet(ori_nx=NX, ori_ny=NX, layers1=(16,), layers2=(16,),
+                 res_cut_node=(1, 2, 1))
+    nbq, qq = jnp.ones((1, 2, 30, 2)), jnp.ones((1, 2, 1, 2))
+    p1 = itp.init(key, nbq, qq, "1")["params"]
+    p2 = itp.init(key, nbq, qq, "2")["params"]
+    p3 = itp.init(key, None, None, "res_cut",
+                  jnp.ones((1, 1, NX, NX)))["params"]
+    itp_params = {**p1, **p2, **p3}
+
+    kw = dict(time_window=1, hidden_features=32, hidden_layer=1,
+              dt=pde.dt, tmax=pde.tmax)
+    model, model_b = MPSolver2D(**kw), MPSolver2D(**kw)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(1), us, ps, pipe.uniform_nbr)
+    vb = model_b.init(jax.random.PRNGKey(2), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"], "model_b": vb["params"],
+              "itp": itp_params}
+    stats = {"model": v["batch_stats"], "model_b": vb["batch_stats"]}
+
+    opt = T.make_optimizer(1e-3)
+    state = T.TrainState(params=params, batch_stats=stats,
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    step_fn = T.make_gnn_step(pipe, model, opt, model_b, itp, dmm, dmm_vars)
+    eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp, dmm, dmm_vars,
+                              train=False)
+    itp_fn = T.make_itp_step(pipe, opt, itp, dmm, dmm_vars)
+
+    rng = np.random.default_rng(0)
+    steps = T.random_start_steps(rng, pipe, 0, 2)
+    state, l_itp = itp_fn(state, jnp.asarray(u[:2]), jnp.asarray(steps))
+    losses = []
+    for i in range(8):
+        steps = T.random_start_steps(rng, pipe, 0, 2)
+        state, loss = step_fn(state, jnp.asarray(u[:2]), jnp.asarray(steps))
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0] * 2  # moves, does not explode
+    el = eval_fn(state, jnp.asarray(u[:2]), jnp.asarray(steps))
+    assert np.isfinite(float(el))
+
+
+def test_test_timestep_losses_runs(tiny_setup):
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    state = T.TrainState(params={"model": v["params"]},
+                         batch_stats={"model": v["batch_stats"]},
+                         opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_fn = T.make_gnn_step(pipe, model, None, train=False)
+    loss = T.test_timestep_losses(pipe, eval_fn, state, u[:4], batch_size=2)
+    assert np.isfinite(loss)
+
+
+def test_cnn_step(tiny_setup):
+    pde, pipe, u = tiny_setup
+    model = BaseCNN(time_window=1, hidden_channels=8, dt=pde.dt)
+    v = model.init(jax.random.PRNGKey(0), jnp.ones((2, 1, NX, NX)))
+    params = {"model": v["params"]}
+    opt = T.make_optimizer(1e-3)
+    state = T.TrainState(params=params, batch_stats={},
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    step_fn = T.make_cnn_step(pipe, model, opt)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(10):
+        steps = T.random_start_steps(rng, pipe, 0, 2)
+        state, loss = step_fn(state, jnp.asarray(u[:2]), jnp.asarray(steps))
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
