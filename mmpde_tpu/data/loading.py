@@ -1,0 +1,110 @@
+"""Dataset loading and train/test splitting.
+
+Mirrors the reference CLIs' data paths:
+  * Burgers: load [N, T, 192, 192], subsample space by ::(192/base_res)
+    (reference: mmpde.py:171), 80/20 trajectory split (mmpde.py:167-173).
+  * Cylinder: load [N, T, n, 5], scale coords x2 to the unit square, drop
+    the first 10 frames, field = channel 2 (reference: mmpde.py:162-166).
+
+Also provides the DMM-training views (trajectories x time flattened into one
+snapshot axis, reference: mesh/dmm.py:71-81).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mmpde_tpu.data.generate import ensure_burgers, ensure_cylinder
+from mmpde_tpu.pdes import PDE, burgers, cy
+
+
+def _load_any(path: str) -> np.ndarray:
+    if path.endswith(".npy") or os.path.exists(path):
+        return np.load(path)
+    if os.path.exists(path + ".npy"):
+        return np.load(path + ".npy")
+    raise FileNotFoundError(path)
+
+
+def load_experiment(experiment: str, base_resolution, data_root: str = "data",
+                    n_traj: Optional[int] = None,
+                    generate_kwargs: Optional[dict] = None):
+    """Returns (pde, u_train, u_test) with pde.grid_size set to base_resolution.
+
+    Burgers: u_* float32 [n, nt, nx, ny]; cylinder: u_* [n, nt', n_nodes]
+    (field only) and pde.ori_grid holds the scaled node coords.
+    """
+    generate_kwargs = dict(generate_kwargs or {})
+    if n_traj is not None:
+        generate_kwargs.setdefault("n_traj", n_traj)
+
+    if experiment == "burgers":
+        path = ensure_burgers(os.path.join(data_root, "burgers_192.npy"),
+                              **generate_kwargs)
+        raw = _load_any(path)
+        stride = raw.shape[-1] // base_resolution[1]
+        u = raw[:, :, ::stride, ::stride].astype(np.float32)
+        n = u.shape[0]
+        n_train = int(n * 0.8)
+        pde = burgers()
+        pde.grid_size = tuple(base_resolution)
+        pde.movingmesh_grid_size = tuple(base_resolution)
+        pde.ori_grid_size = tuple(base_resolution)
+        return pde, u[:n_train], u[n_train:]
+
+    if experiment == "cy":
+        path = ensure_cylinder(os.path.join(data_root, "cylinder_rot_tri.npy"),
+                               **generate_kwargs)
+        raw = _load_any(path).astype(np.float32)
+        raw[:, :, :, :2] *= 2.0  # scale to the unit square (mmpde.py:164)
+        coords = raw[0, 0, :, :2].copy()
+        u = raw[:, 10:, :, 2]
+        n = u.shape[0]
+        n_train = int(n * 0.8)
+        pde = cy(ori_grid=coords)
+        pde.grid_size = tuple(base_resolution)
+        pde.movingmesh_grid_size = tuple(base_resolution)
+        pde.ori_grid_size = tuple(base_resolution)
+        return pde, u[:n_train], u[n_train:]
+
+    raise ValueError(f"unknown experiment {experiment!r}")
+
+
+def load_dmm_training_data(experiment: str, sub_u: int = 4,
+                           data_root: str = "data",
+                           generate_kwargs: Optional[dict] = None):
+    """DMM-training snapshot views (reference: mesh/dmm.py:71-81).
+
+    Burgers: (u [80*T, s, s], test_u [20*T, s, s]) with s = 192 // sub_u.
+    Cylinder: (u [80*T', n, 5], test_u [20*T', n, 5]) with coords scaled x2,
+    first 10 frames dropped.
+    """
+    generate_kwargs = dict(generate_kwargs or {})
+    if experiment == "burgers":
+        path = ensure_burgers(os.path.join(data_root, "burgers_192.npy"),
+                              **generate_kwargs)
+        raw = _load_any(path)
+        s = raw.shape[-1] // sub_u
+        n = raw.shape[0]
+        n_train = int(n * 0.8)
+        u = raw[:n_train, :, ::sub_u, ::sub_u].reshape(-1, s, s)
+        test_u = raw[n_train:, :, ::sub_u, ::sub_u].reshape(-1, s, s)
+        return u.astype(np.float32), test_u.astype(np.float32)
+
+    if experiment == "cy":
+        path = ensure_cylinder(os.path.join(data_root, "cylinder_rot_tri.npy"),
+                               **generate_kwargs)
+        raw = _load_any(path).astype(np.float32)
+        n_nodes = raw.shape[-2]
+        n = raw.shape[0]
+        n_train = int(n * 0.8)
+        u = raw[:n_train, 10:].reshape(-1, n_nodes, 5).copy()
+        u[:, :, :2] *= 2.0
+        test_u = raw[n_train:, 10:].reshape(-1, n_nodes, 5).copy()
+        test_u[:, :, :2] *= 2.0
+        return u, test_u
+
+    raise ValueError(f"unknown experiment {experiment!r}")
