@@ -39,6 +39,9 @@ def measure_ours(n_steps=20):
     import jax
     import jax.numpy as jnp
 
+    from mmpde_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+
     from mmpde_tpu.models import DMM, MPSolver2D, ItpNet
     from mmpde_tpu.pdes import burgers
     from mmpde_tpu.solver.data import GraphPipeline

@@ -113,6 +113,9 @@ def main(args):
     import jax.numpy as jnp
     import optax
 
+    from mmpde_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+
     from mmpde_tpu import ops
     from mmpde_tpu.data.loading import load_dmm_training_data
     from mmpde_tpu.dmm.loss import MALossConfig

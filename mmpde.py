@@ -70,12 +70,19 @@ def get_args(argv=None):
                              'as the reference)')
     parser.add_argument('--n_traj', type=int, default=100,
                         help='trajectories to generate if dataset missing')
+    parser.add_argument('--native_loader', type=eval, default=False,
+                        help='use the C++ prefetching window loader '
+                             '(Burgers only; ships 2*tw frames per batch '
+                             'instead of full trajectories)')
     return parser.parse_args(argv)
 
 
 def main(args):
     import jax
     import jax.numpy as jnp
+
+    from mmpde_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
 
     from mmpde_tpu.data import load_experiment
     from mmpde_tpu.models import DMM, MPSolver2D, ItpNet, BaseCNN
@@ -196,14 +203,32 @@ def main(args):
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
     milestones = [args.unrolling, 30, 50, 70]
 
+    use_native = bool(args.native_loader) and args.experiment == 'burgers' \
+        and args.model == 'GNN'
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
-                                  dmm, dmm_vars, dmm_grid, dmm_nbr, train=True)
+                                  dmm, dmm_vars, dmm_grid, dmm_nbr,
+                                  train=True, window_input=use_native)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr, train=False)
     else:
         step_fn = T.make_cnn_step(pipe, model, optimizer, train=True)
         eval_fn = T.make_cnn_step(pipe, model, None, train=False)
+
+    native_loader = None
+    if use_native:
+        from mmpde_tpu.data.native_loader import NativeWindowLoader
+        # subsampled view must exist as its own file for mmap; cache it
+        stride = 192 // args.base_resolution[1]
+        sub_path = os.path.join(
+            args.data_root,
+            f'burgers_{args.base_resolution[1]}_sub.npy')
+        if not os.path.exists(sub_path):
+            np.save(sub_path, np.ascontiguousarray(
+                np.concatenate([u_train, u_test], axis=0)))
+        native_loader = NativeWindowLoader(
+            sub_path, args.batch_size, args.time_window,
+            traj_lo=0, traj_hi=len(u_train), seed=args.seed)
 
     timestring = datetime.now().strftime('%m-%d-%H-%M-%S')
     save_path = (f'models/{args.model}_PDE_{args.experiment}_mesh{args.moving_mesh}'
@@ -239,9 +264,14 @@ def main(args):
                     print(f'Training ItpNet Loss (progress: '
                           f'{i / (n_inner or pipe.t_res):.2f}): {float(l_itp)}')
 
-        state, train_loss = T.train_epoch(rng, pipe, step_fn, state, u_train,
-                                          args.batch_size, max_unroll,
-                                          n_inner=n_inner)
+        if native_loader is not None:
+            state, train_loss = T.train_epoch_native(
+                rng, pipe, step_fn, state, native_loader, len(u_train),
+                max_unroll, n_inner=n_inner)
+        else:
+            state, train_loss = T.train_epoch(rng, pipe, step_fn, state,
+                                              u_train, args.batch_size,
+                                              max_unroll, n_inner=n_inner)
         print(f'Training Loss: {train_loss}')
         print('Testing:')
         test_loss = T.test_timestep_losses(pipe, eval_fn, state, u_test,

@@ -175,8 +175,13 @@ class GraphPipeline:
         b = u.shape[0]
         mesh = self.moved_mesh(dmm, dmm_vars, data, dmm_grid, dmm_nbr)
         src = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
-        u_m = self.itp_interpolate(itp, itp_vars, u, src, mesh, "1")
-        y_m = self.itp_interpolate(itp, itp_vars, y, src, mesh, "1")
+        # one kNN + one weight evaluation for data AND labels (the learned
+        # weights depend only on geometry; the reference recomputes both,
+        # data_creator_2d.py:206-209)
+        uy = self.itp_interpolate(itp, itp_vars,
+                                  jnp.concatenate([u, y], axis=-1), src,
+                                  mesh, "1")
+        u_m, y_m = uy[..., :self.tw], uy[..., self.tw:]
         nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
         return u_m, y_m, mesh, self._pos(mesh, steps), nbr
 

@@ -74,17 +74,21 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   model_b: Optional[MPSolver2D] = None,
                   itp: Optional[ItpNet] = None,
                   dmm: Optional[DMM] = None, dmm_vars=None,
-                  dmm_grid=None, dmm_nbr=None, train: bool = True):
+                  dmm_grid=None, dmm_nbr=None, train: bool = True,
+                  window_input: bool = False):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
     (reference: train_helper_2d.py:114-121).
+
+    window_input=True: the step takes pre-sliced (data, labels, steps)
+    windows — e.g. from the native C++ loader — instead of full
+    trajectories, so only 2*tw frames cross host->device per batch.
     """
     moving = model_b is not None
     mask = pipe.uniform_mask
 
-    def forward(params, batch_stats, u_traj, steps, is_train):
-        data, labels = pipe.create_data(u_traj, steps)
+    def forward(params, batch_stats, data, labels, steps, is_train):
         u_u, y_u, _, pos_u = pipe.uniform_graph(data, labels, steps)
         new_stats = dict(batch_stats)
         if moving:
@@ -105,19 +109,29 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
         loss = jnp.mean((pred - y_u) ** 2)
         return loss, new_stats
 
+    def _inputs(args):
+        if window_input:
+            data, labels, steps = args
+        else:
+            u_traj, steps = args
+            data, labels = pipe.create_data(u_traj, steps)
+        return data, labels, steps
+
     if not train:
         @jax.jit
-        def eval_step(state: TrainState, u_traj, steps):
-            loss, _ = forward(state.params, state.batch_stats, u_traj,
+        def eval_step(state: TrainState, *args):
+            data, labels, steps = _inputs(args)
+            loss, _ = forward(state.params, state.batch_stats, data, labels,
                               steps, False)
             return loss
         return eval_step
 
     @jax.jit
-    def train_step(state: TrainState, u_traj, steps):
+    def train_step(state: TrainState, *args):
+        data, labels, steps = _inputs(args)
         (loss, new_stats), grads = jax.value_and_grad(
             forward, has_aux=True)(state.params, state.batch_stats,
-                                   u_traj, steps, True)
+                                   data, labels, steps, True)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -215,6 +229,27 @@ def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
             steps = random_start_steps(rng, pipe, unrolled, len(batch))
             state, loss = step_fn(state, jnp.asarray(batch),
                                   jnp.asarray(steps))
+            losses.append(loss)
+    return state, float(jnp.mean(jnp.stack(losses)))
+
+
+def train_epoch_native(rng, pipe, step_fn, state, loader, n_traj: int,
+                       max_unrolling: int, n_inner: Optional[int] = None):
+    """train_epoch over the native C++ window loader (window_input steps).
+
+    Divergence from the reference loader: trajectories are sampled with
+    replacement by the producer thread (the reference shuffles without
+    replacement per pass); expected coverage is identical.
+    """
+    losses = []
+    n_inner = pipe.t_res if n_inner is None else n_inner
+    n_batches = max(1, n_traj // loader.batch_size)
+    for _ in range(n_inner):
+        loader.set_unroll_shrink(int(rng.integers(0, max_unrolling + 1)))
+        for _ in range(n_batches):
+            data, labels, steps = loader.next()
+            state, loss = step_fn(state, jnp.asarray(data),
+                                  jnp.asarray(labels), jnp.asarray(steps))
             losses.append(loss)
     return state, float(jnp.mean(jnp.stack(losses)))
 

@@ -1,0 +1,26 @@
+"""Runtime environment setup.
+
+Enables the persistent XLA compilation cache so the heavy fused training
+programs compile once per machine instead of once per process — on this
+environment the TPU backend compiles through a remote tunnel where a large
+program can take many minutes.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_compilation_cache(cache_dir: str | None = None):
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "MMPDE_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags

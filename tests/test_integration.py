@@ -1,0 +1,115 @@
+"""Integration tests: checkpoint roundtrip, data generation, eval metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmpde_tpu.data.generate import generate_burgers, generate_cylinder
+from mmpde_tpu.models import DMM
+from mmpde_tpu.utils import save_checkpoint, load_checkpoint
+
+
+def test_burgers_generator_properties():
+    arr = generate_burgers(n_traj=2, nt=5, s=32, tmax=2.0, sub_steps=20)
+    assert arr.shape == (2, 5, 32, 32)
+    assert np.all(np.isfinite(arr))
+    # viscous decay: energy at the end below the start
+    e0 = np.mean(arr[:, 0] ** 2)
+    e1 = np.mean(arr[:, -1] ** 2)
+    assert e1 < e0
+    # solution changes over time (not frozen)
+    assert np.mean((arr[:, 0] - arr[:, -1]) ** 2) > 1e-6
+
+
+def test_cylinder_generator_properties():
+    arr = generate_cylinder(n_traj=2, nt=6, n_nodes=300)
+    assert arr.shape == (2, 6, 300, 5)
+    assert np.all(np.isfinite(arr))
+    # coords in [0, 0.5]^2, fixed over time and trajectories
+    assert arr[..., :2].min() >= 0.0 and arr[..., :2].max() <= 0.5
+    np.testing.assert_allclose(arr[0, 0, :, :2], arr[1, 5, :, :2])
+    # no node inside the cylinder
+    d = np.linalg.norm(arr[0, 0, :, :2] - np.array([0.125, 0.25]), axis=-1)
+    assert d.min() > 0.035
+    # field evolves
+    assert np.mean((arr[:, 0, :, 2] - arr[:, -1, :, 2]) ** 2) > 1e-8
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = DMM(mode="array", branch_layer=7, trunk_layer=(2, 8, 16),
+                out_layer=(32, 16, 1))
+    u = jnp.ones((1, 16, 16))
+    xi = jnp.zeros((1, 2, 2))
+    variables = model.init(jax.random.PRNGKey(0), u, xi)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {"params": variables["params"]},
+                    config={"arch": {"mode": "array"}})
+    state, config = load_checkpoint(path)
+    assert config["arch"]["mode"] == "array"
+    restored = state["params"]
+    phi0 = model.apply(variables, u, xi)
+    phi1 = model.apply({"params": restored}, u, xi)
+    np.testing.assert_allclose(np.asarray(phi0), np.asarray(phi1), rtol=1e-6)
+
+
+def test_checkpoint_template_restore(tmp_path):
+    tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    path = str(tmp_path / "c2")
+    save_checkpoint(path, tree)
+    template = {"a": jnp.zeros(4), "b": {"c": jnp.zeros((2, 2))}}
+    restored, _ = load_checkpoint(path, template)
+    np.testing.assert_allclose(np.asarray(restored["a"]), [0, 1, 2, 3])
+
+
+def test_evaluate_identity_mesh_statistics():
+    """A DMM with phi ~ 0 yields the uniform mesh: std of m*area is the
+    monitor's own variation; mean*cells ~ integral of m."""
+    from mmpde_tpu.eval.evaluate import evaluate
+
+    class ZeroDMM:
+        mode = "array"
+
+        def apply(self, variables, *a, method=None, **k):
+            # branch_features -> zeros; phi_given_branch -> 0
+            if method is not None and getattr(method, "__name__", "") == \
+                    "branch_features":
+                return jnp.zeros((a[0].shape[0], 4))
+            if len(a) == 2:  # (feat, xi)
+                return jnp.zeros(a[1].shape[:-1])
+            return jnp.zeros((a[0].shape[0], 4))
+
+    # simple smooth field
+    s = 12
+    xs = np.linspace(0, 1, s)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    u = jnp.asarray(np.sin(2 * np.pi * X) * np.cos(np.pi * Y))[None]
+    mean, std, minmax = evaluate(ZeroDMM(), {}, u)
+    assert np.isfinite(mean) and np.isfinite(std) and np.isfinite(minmax)
+    assert mean > 0
+
+
+def test_itp_error_uniform_less_than_random():
+    from mmpde_tpu.eval.evaluate import itp_error
+
+    class ZeroDMM:
+        mode = "array"
+
+        def apply(self, variables, *a, method=None, **k):
+            if method is not None and getattr(method, "__name__", "") == \
+                    "branch_features":
+                return jnp.zeros((a[0].shape[0], 4))
+            if len(a) == 2:
+                return jnp.zeros(a[1].shape[:-1])
+            return jnp.zeros((a[0].shape[0], 4))
+
+    s = 16
+    xs = np.linspace(0, 1, s)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    u = jnp.asarray(np.sin(2 * np.pi * X) + Y)[None]
+    e_moved, e_uniform = itp_error(ZeroDMM(), {}, u)
+    # phi = 0 => moved == uniform mesh => identical errors
+    np.testing.assert_allclose(e_moved, e_uniform, rtol=1e-5)
+    assert e_uniform < 1.0
