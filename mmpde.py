@@ -70,6 +70,10 @@ def get_args(argv=None):
                              'as the reference)')
     parser.add_argument('--n_traj', type=int, default=100,
                         help='trajectories to generate if dataset missing')
+    parser.add_argument('--resume', type=str, default=None,
+                        help='checkpoint dir to resume training from '
+                             '(restores params, batch stats, optimizer '
+                             'state, epoch)')
     parser.add_argument('--native_loader', type=eval, default=False,
                         help='use the C++ prefetching window loader '
                              '(Burgers only; ships 2*tw frames per batch '
@@ -203,6 +207,17 @@ def main(args):
                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
     milestones = [args.unrolling, 30, 50, 70]
 
+    start_epoch = 0
+    if args.resume:
+        restored, rcfg = load_checkpoint(args.resume, template={
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state})
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"])
+        start_epoch = int((rcfg or {}).get("epoch", -1)) + 1
+        print(f'Resumed from {args.resume} at epoch {start_epoch}')
+
     use_native = bool(args.native_loader) and args.experiment == 'burgers' \
         and args.model == 'GNN'
     if args.model == 'GNN':
@@ -247,7 +262,7 @@ def main(args):
 
     n_inner = args.inner_loops
     test_losses = []
-    for epoch in range(args.num_epochs):
+    for epoch in range(start_epoch, args.num_epochs):
         print(f'Epoch {epoch}')
         state = T.set_lr(state, T.multistep_lr(args.lr, epoch, milestones,
                                                args.lr_decay))
@@ -282,7 +297,9 @@ def main(args):
 
         save_checkpoint(save_path, {
             "params": state.params, "batch_stats": state.batch_stats,
-        }, config={"args": vars(args), "test_losses": test_losses})
+            "opt_state": state.opt_state,
+        }, config={"args": vars(args), "epoch": epoch,
+                   "test_losses": test_losses})
         print(f'Saved model at {save_path}\n')
 
     print(f'Test loss: {min(test_losses) if test_losses else float("nan")}')

@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mmpde_tpu.models.convnet import ConvBranchNet
-from mmpde_tpu.models.gnn import GNNLayer, _NodeNorm
+from mmpde_tpu.models.gnn import _NodeNorm, gnn_stack
 from mmpde_tpu.models.mlp import DenseNet
 
 
@@ -61,9 +61,9 @@ class _GraphBranch(nn.Module):
         h = _NodeNorm(name="embed_norm_1")(h, train)
 
         novars = jnp.zeros(u.shape + (0,), dtype=h.dtype)
-        for i in range(self.hidden_layer):
-            h = GNNLayer(self.hidden_features, name=f"gnn_{i}")(
-                h, x, pos_x, pos_y, novars, nbr, train, act=jnp.tanh)
+        h, _ = gnn_stack(self.hidden_layer, self.hidden_features,
+                         name="gnn_layers")(
+            h, x, pos_x, pos_y, novars, nbr, train, None, jnp.tanh)
 
         dec, _ = DenseNet([self.hidden_features, 128, 1],
                           name="decoding_mlp")(h)
