@@ -14,8 +14,20 @@ query coordinates (the DMM loss differentiates through the query path).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    """Dispatch the blocked Pallas kernel on TPU (override: MMPDE_PALLAS=0)."""
+    if os.environ.get("MMPDE_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def uniform_grid(n: int, indexing: str = "ij") -> jnp.ndarray:
@@ -70,6 +82,13 @@ def idw_grid(u: jnp.ndarray, query: jnp.ndarray, scale=None) -> jnp.ndarray:
     if scale is None:
         scale = float(n)
 
+    if _use_pallas():
+        from mmpde_tpu.ops.pallas_idw import idw_points_pallas
+        b = u.shape[0]
+        src = jnp.broadcast_to(grid[None], (b, n * n, 2))
+        return idw_points_pallas(u.reshape(b, -1, 1), src, query,
+                                 float(scale))[..., 0]
+
     def one(ub, qb):
         return idw_points_single(ub.reshape(-1), grid, qb, scale)
 
@@ -86,5 +105,9 @@ def idw_points(u: jnp.ndarray, src: jnp.ndarray, query: jnp.ndarray,
     n = u.shape[-1]
     if scale is None:
         scale = float(jnp.sqrt(n))
+    if _use_pallas():
+        from mmpde_tpu.ops.pallas_idw import idw_points_pallas
+        return idw_points_pallas(u[..., None], src, query,
+                                 float(scale))[..., 0]
     return jax.vmap(lambda ub, sb, qb: idw_points_single(ub, sb, qb, scale))(
         u, src, query)
