@@ -38,3 +38,34 @@ class BaseCNN(nn.Module):
         u_last = u[:, -1:, :, :]
         out = u_last + dt[None, :, None, None] * delta
         return jnp.squeeze(out)
+
+
+class BaseCNN3d(nn.Module):
+    """3-D variant (reference models_cnn.py:86-163, ``BaseCNN3d``) — kept for
+    API parity; unused by the reference CLIs.  u [B, tw, nx, ny, nz]."""
+
+    time_window: int = 25
+    hidden_channels: int = 40
+    dt: float = 1.0
+
+    @nn.compact
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.moveaxis(u, 1, -1)  # NDHWC with tw channels
+
+        def conv(c, k, name):
+            return nn.Conv(c, kernel_size=(k, k, k), padding="CIRCULAR",
+                           name=name)
+
+        h = nn.elu(conv(self.hidden_channels, 3, "conv1")(x))
+        h = h + nn.elu(conv(self.hidden_channels, 3, "conv2")(h))
+        h = h + nn.elu(conv(self.hidden_channels, 3, "conv3")(h))
+        h = h + nn.elu(conv(self.hidden_channels, 3, "conv4")(h))
+        h = h + nn.elu(conv(self.hidden_channels, 3, "conv5")(h))
+        h = conv(self.time_window, 3, "conv6")(h)
+        delta = jnp.moveaxis(h, -1, 1)
+
+        dt = jnp.cumsum(jnp.full((self.time_window,), self.dt,
+                                 dtype=delta.dtype))
+        u_last = u[:, -1:]
+        out = u_last + dt[None, :, None, None, None] * delta
+        return jnp.squeeze(out)

@@ -177,3 +177,12 @@ def test_basecnn_residual_form():
     variables = model.init(jax.random.PRNGKey(1), u)
     out = model.apply(variables, u)
     assert out.shape == (2, 12, 12)  # squeezed like reference
+
+
+def test_basecnn3d_shape():
+    from mmpde_tpu.models import BaseCNN3d
+    model = BaseCNN3d(time_window=1, hidden_channels=4, dt=1.0)
+    u = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 6, 6, 6))
+    v = model.init(jax.random.PRNGKey(1), u)
+    out = model.apply(v, u)
+    assert out.shape == (2, 6, 6, 6)
