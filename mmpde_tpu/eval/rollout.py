@@ -1,0 +1,93 @@
+"""Autoregressive rollout + relative-L2 metric.
+
+The reference describes MM-PDE as an autoregressive solver but only ever
+evaluates one-step MSE (train_helper_2d.py:137-200; the docstring mentions
+unrolled losses that were never implemented).  The BASELINE north-star is
+rollout relative-L2, so the rollout is implemented here as a lax.scan over
+time: each step runs the full two-branch forward (frozen-DMM mesh movement,
+kNN interpolation, both GNNs, residual-cut) and feeds its prediction back as
+the next history window.  One jitted program for the whole trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mmpde_tpu.solver.data import GraphPipeline
+
+
+def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
+                 dmm=None, dmm_vars=None, dmm_grid=None, dmm_nbr=None):
+    """Returns rollout(state, u_init [B, tw, ...spatial], n_steps) ->
+    predictions [B, n_steps, tw, ...spatial] on the uniform mesh."""
+    moving = model_b is not None
+    tw = pipe.tw
+
+    def one_step(params, batch_stats, data, step_idx):
+        steps = jnp.full((data.shape[0],), step_idx, dtype=jnp.int32)
+        labels = data  # placeholder; labels unused in the forward
+        u_u, _, _, pos_u = pipe.uniform_graph(data, labels, steps)
+        pred_u = model.apply(
+            {"params": params["model"], "batch_stats": batch_stats["model"]},
+            u_u, pos_u, pipe.uniform_nbr, False, pipe.uniform_mask)
+        if moving:
+            itp_vars = {"params": params["itp"]}
+            u_m, _, mesh, pos_m, nbr_m = pipe.moved_graph(
+                dmm, dmm_vars, itp, itp_vars, data, labels, steps,
+                dmm_grid, dmm_nbr)
+            pred_b = model_b.apply(
+                {"params": params["model_b"],
+                 "batch_stats": batch_stats["model_b"]},
+                u_m, pos_m, nbr_m, False)
+            pred_u = pred_u + pipe.interpolate_pred(itp, itp_vars, pred_b,
+                                                    mesh, data)
+        # [B, N, tw] -> window layout [B, tw, ...spatial]
+        b = pred_u.shape[0]
+        return jnp.swapaxes(pred_u, 1, 2).reshape(data.shape)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def rollout(state, u_init, n_steps: int):
+        def body(carry, step_idx):
+            data = carry
+            pred = one_step(state.params, state.batch_stats, data, step_idx)
+            return pred, pred
+
+        # clip the time index used for the pos-t channel to the pde range
+        idxs = jnp.clip(jnp.arange(n_steps) * tw + tw, 0,
+                        pipe.pde.grid_size[0] - 1)
+        _, preds = jax.lax.scan(body, u_init, idxs)
+        return jnp.moveaxis(preds, 0, 1)  # [B, n_steps, tw, ...]
+
+    return rollout
+
+
+def rollout_relative_l2(pred, truth):
+    """||pred - truth|| / ||truth|| over the full rollout (per batch mean).
+
+    pred, truth: [B, T, ...].
+    """
+    diff = jnp.sqrt(jnp.sum((pred - truth) ** 2, axis=tuple(
+        range(1, pred.ndim))))
+    norm = jnp.sqrt(jnp.sum(truth ** 2, axis=tuple(range(1, truth.ndim))))
+    return float(jnp.mean(diff / jnp.maximum(norm, 1e-12)))
+
+
+def evaluate_rollout(pipe: GraphPipeline, rollout_fn, state, u_test,
+                     start: Optional[int] = None):
+    """Roll out from the first window of each test trajectory and compare
+    against the ground truth; returns mean relative L2."""
+    tw = pipe.tw
+    start = tw if start is None else start
+    n_steps = (pipe.t_res - start) // tw
+    u_init = u_test[:, start - tw:start]
+    preds = rollout_fn(state, jnp.asarray(u_init), n_steps)
+    b = preds.shape[0]
+    truth = jnp.stack([
+        jnp.asarray(u_test[:, start + i * tw: start + (i + 1) * tw])
+        for i in range(n_steps)], axis=1)
+    return rollout_relative_l2(preds, truth)

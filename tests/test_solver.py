@@ -162,3 +162,21 @@ def test_cnn_step(tiny_setup):
         losses.append(float(loss))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_rollout_runs_and_metric(tiny_setup):
+    from mmpde_tpu.eval.rollout import make_rollout, evaluate_rollout
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    state = T.TrainState(params={"model": v["params"]},
+                         batch_stats={"model": v["batch_stats"]},
+                         opt_state=None, step=jnp.zeros((), jnp.int32))
+    rollout_fn = make_rollout(pipe, model)
+    rel = evaluate_rollout(pipe, rollout_fn, state, u[:2])
+    assert np.isfinite(rel) and rel >= 0.0
+    preds = rollout_fn(state, jnp.asarray(u[:2, 0:1]), 4)
+    assert preds.shape == (2, 4, 1, NX, NX)
