@@ -57,18 +57,23 @@ class GNNLayer(nn.Module):
     def __call__(self, h, u, pos_x, pos_y, variables, nbr, train: bool,
                  mask: Optional[jnp.ndarray] = None, act=nn.relu):
         k = nbr.shape[-1]
-        h_j = gather_nodes(h, nbr)
-        u_j = gather_nodes(u, nbr)
-        px_j = gather_nodes(pos_x, nbr)
-        py_j = gather_nodes(pos_y, nbr)
+        dense1 = nn.Dense(self.hidden, name="message_net_1")
 
-        def expand(a):
-            return jnp.broadcast_to(a[:, :, None, :], a.shape[:2] + (k,) + a.shape[-1:])
-
-        msg_in = jnp.concatenate(
-            [expand(h), h_j, expand(u) - u_j, expand(pos_x) - px_j,
-             expand(pos_y) - py_j, expand(variables)], axis=-1)
-        m = act(nn.Dense(self.hidden, name="message_net_1")(msg_in))
+        # message_net_1 is linear over the concat
+        # [h_i, h_j, u_i-u_j, dpos_x, dpos_y, var_i]; split it into a
+        # target-side per-NODE projection A and a source-side per-NODE
+        # projection S, so the [B, N, k, 2H+...] edge tensor (0.5 GB at the
+        # reference config) never materialises — only a 128-wide gather does.
+        # Exactly equivalent math with the identical parameter tree.
+        zh = jnp.zeros_like(h)
+        zv = jnp.zeros_like(variables)
+        bias = dense1(jnp.zeros((1, 2 * h.shape[-1] + u.shape[-1] + 2
+                                 + variables.shape[-1]), h.dtype))
+        a_node = dense1(jnp.concatenate(
+            [h, zh, u, pos_x, pos_y, variables], axis=-1))       # i-terms + b
+        s_node = dense1(jnp.concatenate(
+            [zh, h, -u, -pos_x, -pos_y, zv], axis=-1)) - bias    # j-terms
+        m = act(a_node[:, :, None, :] + gather_nodes(s_node, nbr))
         m = act(nn.Dense(self.hidden, name="message_net_2")(m))
         if mask is None:
             m = jnp.mean(m, axis=2)

@@ -17,8 +17,30 @@ for much larger meshes without changing callers.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _top_k_neg(d: jnp.ndarray, k: int):
+    """Indices of the k SMALLEST entries per row of d.
+
+    Uses the TPU-optimised approx_max_k (default recall target 0.99 — for
+    neighbor selection the occasional rank-35 swap is immaterial and it is
+    ~5x faster than the exact sort-based top_k).  MMPDE_EXACT_KNN=1 forces
+    the exact path; CPU always uses it (approx_max_k lowers to sort there).
+    """
+    exact = os.environ.get("MMPDE_EXACT_KNN") == "1"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if exact or not on_tpu:
+        _, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32)
+    _, idx = jax.lax.approx_max_k(-d, k, recall_target=0.99)
+    return idx.astype(jnp.int32)
 
 
 def _pairwise_sqdist(query: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
@@ -54,8 +76,7 @@ def knn_query(points: jnp.ndarray, query: jnp.ndarray, k: int,
     d = _pairwise_sqdist(query, points)
     if exclude_self:
         d = jnp.where(d <= 1e-12, jnp.inf, d)
-    _, idx = jax.lax.top_k(-d, k)
-    return idx.astype(jnp.int32)
+    return _top_k_neg(d, k)
 
 
 def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -67,8 +88,7 @@ def knn_indices(points: jnp.ndarray, k: int) -> jnp.ndarray:
     n = points.shape[0]
     d = _pairwise_sqdist(points, points)
     d = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)  # drop self-loops
-    _, idx = jax.lax.top_k(-d, k)
-    return idx.astype(jnp.int32)
+    return _top_k_neg(d, k)
 
 
 def radius_neighbors(points: jnp.ndarray, radius, max_k: int):

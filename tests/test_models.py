@@ -186,3 +186,43 @@ def test_basecnn3d_shape():
     v = model.init(jax.random.PRNGKey(1), u)
     out = model.apply(v, u)
     assert out.shape == (2, 6, 6, 6)
+
+
+def test_gnn_factored_message_matches_concat():
+    """The transform-then-gather message must equal the direct
+    Dense-over-concat formulation (they share the same kernel)."""
+    from mmpde_tpu.models.gnn import GNNLayer, gather_nodes
+    b, n, k, h_dim, tw = 2, 10, 3, 8, 1
+    key = jax.random.PRNGKey(0)
+    h = jax.random.normal(key, (b, n, h_dim))
+    u = jax.random.normal(jax.random.PRNGKey(1), (b, n, tw))
+    px = jax.random.normal(jax.random.PRNGKey(2), (b, n, 1))
+    py = jax.random.normal(jax.random.PRNGKey(3), (b, n, 1))
+    var = jax.random.normal(jax.random.PRNGKey(4), (b, n, 1))
+    nbr = jax.random.randint(jax.random.PRNGKey(5), (b, n, k), 0, n)
+
+    layer = GNNLayer(h_dim)
+    v = layer.init(jax.random.PRNGKey(6), h, u, px, py, var, nbr, False)
+    kern = v["params"]["message_net_1"]["kernel"]
+    bias = v["params"]["message_net_1"]["bias"]
+
+    # direct concat oracle for the first Dense of the message net
+    h_j = gather_nodes(h, nbr)
+    u_j = gather_nodes(u, nbr)
+    px_j = gather_nodes(px, nbr)
+    py_j = gather_nodes(py, nbr)
+    exp = lambda a: jnp.broadcast_to(a[:, :, None, :],
+                                     a.shape[:2] + (k,) + a.shape[-1:])
+    concat = jnp.concatenate([exp(h), h_j, exp(u) - u_j, exp(px) - px_j,
+                              exp(py) - py_j, exp(var)], axis=-1)
+    oracle_pre = concat @ kern + bias
+
+    # recover the factored pre-activation from the layer by monkey-running
+    # its algebra
+    zh = jnp.zeros_like(h)
+    zv = jnp.zeros_like(var)
+    a_node = jnp.concatenate([h, zh, u, px, py, var], -1) @ kern + bias
+    s_node = jnp.concatenate([zh, h, -u, -px, -py, zv], -1) @ kern
+    factored_pre = a_node[:, :, None, :] + gather_nodes(s_node, nbr)
+    np.testing.assert_allclose(np.asarray(factored_pre),
+                               np.asarray(oracle_pre), rtol=1e-4, atol=1e-5)
