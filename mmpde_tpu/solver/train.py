@@ -38,10 +38,12 @@ class TrainState:
     step: jnp.ndarray
 
 
-def make_optimizer(lr: float):
+def make_optimizer(lr: float, weight_decay: float = 0.01):
     """AdamW with an externally-set learning rate (epoch-level MultiStepLR
-    is applied by the driver, reference mmpde.py:269-274)."""
-    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr)
+    is applied by the driver, reference mmpde.py:269-274).  weight_decay
+    defaults to torch.optim.AdamW's 0.01 (optax's default is 1e-4)."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr, weight_decay=weight_decay)
 
 
 def multistep_lr(base_lr: float, epoch: int, milestones, gamma: float) -> float:
