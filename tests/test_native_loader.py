@@ -72,3 +72,42 @@ def test_unroll_shrink_limits_steps(dataset):
         assert max(seen) <= 1, seen
     finally:
         loader.close()
+
+
+def test_native_loader_with_windowed_train_step(dataset, tmp_path):
+    """End-to-end: native loader batches drive the window_input GNN step."""
+    import jax
+    import jax.numpy as jnp
+    from mmpde_tpu.models import MPSolver2D
+    from mmpde_tpu.pdes import burgers
+    from mmpde_tpu.solver.data import GraphPipeline
+    from mmpde_tpu.solver import train as T
+
+    path, arr = dataset  # [10, 9, 6, 6]
+    pde = burgers(grid_size=(9, 6, 6), tmax=8.0)
+    pde.movingmesh_grid_size = (9, 6, 6)
+    pde.ori_grid_size = (9, 6, 6)
+    pipe = GraphPipeline(pde, neighbors=3, time_window=1, t_resolution=9)
+    model = MPSolver2D(time_window=1, hidden_features=16, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((4, pipe.n_nodes, 1))
+    ps = jnp.ones((4, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    opt = T.make_optimizer(1e-3)
+    params = {"model": v["params"]}
+    state = T.TrainState(params=params,
+                         batch_stats={"model": v["batch_stats"]},
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    step_fn = T.make_gnn_step(pipe, model, opt, train=True,
+                              window_input=True)
+    loader = NativeWindowLoader(path, batch_size=4, time_window=1,
+                                traj_lo=0, traj_hi=8, seed=0)
+    try:
+        rng = np.random.default_rng(0)
+        state, loss = T.train_epoch_native(rng, pipe, step_fn, state, loader,
+                                           n_traj=8, max_unrolling=0,
+                                           n_inner=2)
+        assert np.isfinite(loss)
+    finally:
+        loader.close()
