@@ -1,0 +1,112 @@
+"""Evaluate rollout relative-L2 of a trained MM-PDE checkpoint.
+
+The BASELINE north-star metric: autoregressive rollout over the held-out
+trajectories, relative L2 against ground truth.
+
+    PYTHONPATH=.:/root/.axon_site python scripts/eval_rollout.py \
+        <checkpoint_dir> [--experiment burgers] [--base_resolution 31,48,48]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("checkpoint")
+    p.add_argument("--experiment", default="burgers")
+    p.add_argument("--base_resolution",
+                   type=lambda s: [int(i) for i in s.split(",")],
+                   default=[31, 48, 48])
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--dmm_checkpoint", default=None)
+    p.add_argument("--batch", type=int, default=6)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mmpde_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+    from mmpde_tpu import ops
+    from mmpde_tpu.data import load_experiment
+    from mmpde_tpu.models import DMM, MPSolver2D, ItpNet
+    from mmpde_tpu.solver.data import GraphPipeline
+    from mmpde_tpu.solver.train import TrainState
+    from mmpde_tpu.eval.rollout import make_rollout, evaluate_rollout
+    from mmpde_tpu.utils import load_checkpoint
+
+    state_raw, cfg = load_checkpoint(args.checkpoint)
+    ckpt_args = cfg["args"]
+    moving = bool(ckpt_args.get("moving_mesh", False)) and \
+        "model_b" in state_raw["params"]
+
+    pde, u_train, u_test = load_experiment(args.experiment,
+                                           args.base_resolution,
+                                           data_root=args.data_root)
+    pipe = GraphPipeline(pde, neighbors=int(ckpt_args["neighbors"]),
+                         connect_edge=ckpt_args["connect_edge"],
+                         time_window=int(ckpt_args["time_window"]),
+                         t_resolution=args.base_resolution[0])
+
+    tw = int(ckpt_args["time_window"])
+    kw = dict(time_window=tw, dt=pde.dt, lx=pde.Lx, ly=pde.Ly, tmax=pde.tmax)
+    model = MPSolver2D(**kw)
+    model_b = MPSolver2D(**kw) if moving else None
+
+    dmm = dmm_vars = itp = None
+    dmm_grid = dmm_nbr = None
+    if moving:
+        dmm_ckpt = args.dmm_checkpoint or f"{args.experiment}_checkpoint"
+        raw_dmm, dmm_cfg = load_checkpoint(dmm_ckpt)
+        arch = dmm_cfg["arch"]
+        dmm = DMM(mode=arch["mode"],
+                  branch_layer=(arch["branch_layer"]
+                                if isinstance(arch["branch_layer"], int)
+                                else tuple(arch["branch_layer"])),
+                  trunk_layer=tuple(arch["trunk_layer"]),
+                  out_layer=tuple(arch["out_layer"]),
+                  n_nodes=arch.get("n_nodes"))
+        dmm_vars = {"params": raw_dmm["params"]}
+        if raw_dmm.get("batch_stats"):
+            dmm_vars["batch_stats"] = raw_dmm["batch_stats"]
+        if dmm.mode == "graph":
+            dmm_grid = pipe.grid
+            dmm_nbr = ops.knn_indices(dmm_grid, 35)
+        if args.experiment == "cy":
+            itp = ItpNet(ori_nx=pde.ori_grid_size[1], ori_ny=None,
+                         layers1=tuple(ckpt_args["itpnet_node1"]),
+                         layers2=tuple(ckpt_args["itpnet_node2"]))
+        else:
+            itp = ItpNet(ori_nx=pde.ori_grid_size[-2],
+                         ori_ny=pde.ori_grid_size[-1],
+                         layers1=tuple(ckpt_args["itpnet_node1"]),
+                         layers2=tuple(ckpt_args["itpnet_node2"]),
+                         res_cut_node=tuple(ckpt_args["res_cut_node"]))
+
+    state = TrainState(params=state_raw["params"],
+                       batch_stats=state_raw["batch_stats"],
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
+                              dmm_grid, dmm_nbr)
+    rels = []
+    for i in range(0, len(u_test) - args.batch + 1, args.batch):
+        rel = evaluate_rollout(pipe, rollout_fn, state,
+                               u_test[i:i + args.batch])
+        rels.append(rel)
+    result = {"metric": "rollout_relative_l2",
+              "experiment": args.experiment,
+              "moving_mesh": moving,
+              "value": float(np.mean(rels)),
+              "n_test": len(rels) * args.batch}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
