@@ -173,9 +173,21 @@ def generate_cylinder(n_traj: int = 100, nt: int = 40, n_nodes: int = 2521,
     return out
 
 
+def _cached_n_traj(path: str) -> int:
+    try:
+        return np.load(path, mmap_mode="r").shape[0]
+    except Exception:
+        return 0
+
+
 def ensure_burgers(path: str = "data/burgers_192.npy", **kw) -> str:
-    """Generate-and-cache the Burgers dataset; returns the file path."""
-    if not os.path.exists(path):
+    """Generate-and-cache the Burgers dataset; returns the file path.
+
+    Regenerates if a cached file holds fewer trajectories than requested
+    (e.g. a small smoke-test cache must not silently serve a full run).
+    """
+    want = kw.get("n_traj", 100)
+    if not os.path.exists(path) or _cached_n_traj(path) < want:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         print(f"[mmpde_tpu] generating Burgers dataset -> {path} "
               "(reference data not shipped; see mmpde_tpu/data/generate.py)")
@@ -185,7 +197,8 @@ def ensure_burgers(path: str = "data/burgers_192.npy", **kw) -> str:
 
 
 def ensure_cylinder(path: str = "data/cylinder_rot_tri.npy", **kw) -> str:
-    if not os.path.exists(path):
+    want = kw.get("n_traj", 100)
+    if not os.path.exists(path) or _cached_n_traj(path) < want:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         print(f"[mmpde_tpu] generating cylinder dataset -> {path}")
         arr = generate_cylinder(**kw)

@@ -95,10 +95,11 @@ def main():
                        opt_state=None, step=jnp.zeros((), jnp.int32))
     rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
                               dmm_grid, dmm_nbr)
+    batch = min(args.batch, len(u_test))
     rels = []
-    for i in range(0, len(u_test) - args.batch + 1, args.batch):
+    for i in range(0, len(u_test) - batch + 1, batch):
         rel = evaluate_rollout(pipe, rollout_fn, state,
-                               u_test[i:i + args.batch])
+                               u_test[i:i + batch])
         rels.append(rel)
     result = {"metric": "rollout_relative_l2",
               "experiment": args.experiment,
