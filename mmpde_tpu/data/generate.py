@@ -95,15 +95,23 @@ def generate_burgers(n_traj: int = 100, nt: int = 31, s: int = 192,
                      tmax: float = 30.0, nu: float = 0.005,
                      sub_steps: int = 200, seed: int = 0,
                      batch: int = 20) -> np.ndarray:
-    """Generate Burgers trajectories; returns float32 [n_traj, nt, s, s]."""
+    """Generate Burgers trajectories; returns float32 [n_traj, nt, s, s].
+
+    Runs on the CPU backend: the spectral solver is complex64-heavy and the
+    remote-TPU plugin cannot transfer complex constants (UNIMPLEMENTED);
+    generation is a one-time cost.
+    """
     import jax
 
+    cpu = jax.devices("cpu")[0]
     out = []
     key = jax.random.PRNGKey(seed)
-    for i in range(0, n_traj, batch):
-        sub = min(batch, n_traj - i)
-        out.append(np.asarray(_burgers_batch(
-            jax.random.fold_in(key, i), sub, nt, s, tmax, nu, sub_steps)))
+    with jax.default_device(cpu):
+        for i in range(0, n_traj, batch):
+            sub = min(batch, n_traj - i)
+            out.append(np.asarray(_burgers_batch(
+                jax.random.fold_in(key, i), sub, nt, s, tmax, nu,
+                sub_steps)))
     return np.concatenate(out, axis=0)
 
 
