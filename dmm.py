@@ -188,14 +188,7 @@ def main(args):
     optimizer = DT.adam_optimizer(cfg, n_inner)
     opt_state = optimizer.init(params)
     adam_step = DT.make_adam_step(model, cfg, loss_cfg, optimizer, u,
-                                  mesh=u if args.experiment == 'cy' else None,
-                                  grid=grid, nbr=nbr)
-    # NOTE: for cy, the sampler needs the full [M, n, 5] tensor (coords +
-    # field) and the mesh coordinates; sample_interior_tri takes mesh
-    # separately.
-    if args.experiment == 'cy':
-        adam_step = DT.make_adam_step(model, cfg, loss_cfg, optimizer, u,
-                                      mesh=mesh, grid=grid, nbr=nbr)
+                                  mesh=mesh, grid=grid, nbr=nbr)
 
     ckpt_path = args.checkpoint or f'{args.experiment}_checkpoint'
     logger = MetricLogger(os.path.join(

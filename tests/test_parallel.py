@@ -91,3 +91,27 @@ def test_dp_gradient_psum_equivalence():
                      jax.tree_util.tree_leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
                                    atol=1e-6)
+
+
+@requires_8
+def test_shard_map_gather_matches_local():
+    from jax.sharding import Mesh
+    from mmpde_tpu.parallel.node_parallel import (
+        sharded_gather_nodes, sharded_segment_mean)
+    from mmpde_tpu.models.gnn import gather_nodes
+
+    b, n, k, f = 2, 64, 5, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, f))
+    nbr = jax.random.randint(jax.random.PRNGKey(1), (b, n, k), 0, n)
+    ref = gather_nodes(x, nbr)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "node"))
+    from mmpde_tpu.parallel import shard_nodes
+    x_s, = shard_nodes(mesh, (x,))
+    nbr_s, = shard_nodes(mesh, (nbr,))
+    out = sharded_gather_nodes(mesh, x_s, nbr_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    m = sharded_segment_mean(mesh, out)
+    np.testing.assert_allclose(np.asarray(m),
+                               np.asarray(jnp.mean(ref, axis=2)), rtol=1e-6)
