@@ -14,6 +14,13 @@ import os
 def setup_compilation_cache(cache_dir: str | None = None):
     import jax
 
+    try:
+        if jax.default_backend() != "tpu":
+            # CPU artifacts cached from the remote-compile service carry
+            # different host CPU features (SIGILL risk) — TPU only.
+            return
+    except Exception:
+        return
     cache_dir = cache_dir or os.environ.get(
         "MMPDE_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
