@@ -113,3 +113,34 @@ def test_itp_error_uniform_less_than_random():
     # phi = 0 => moved == uniform mesh => identical errors
     np.testing.assert_allclose(e_moved, e_uniform, rtol=1e-5)
     assert e_uniform < 1.0
+
+
+def test_dmm_checkpoint_arch_rebuild(tmp_path):
+    """The self-describing checkpoint must rebuild the exact architecture
+    (the path mmpde.py uses to load the frozen DMM)."""
+    import jax
+    from mmpde_tpu.models import DMM
+
+    model = DMM(mode="array", branch_layer=7, trunk_layer=(2, 8, 16),
+                out_layer=(32, 16, 1))
+    u = jnp.ones((1, 16, 16))
+    xi = jnp.full((1, 2, 2), 0.3)
+    variables = model.init(jax.random.PRNGKey(0), u, xi)
+    arch = {"mode": "array", "branch_layer": 7,
+            "trunk_layer": [2, 8, 16], "out_layer": [32, 16, 1]}
+    path = str(tmp_path / "dmm_ckpt")
+    save_checkpoint(path, {"params": variables["params"],
+                           "batch_stats": {}}, config={"arch": arch})
+
+    raw, cfg = load_checkpoint(path)
+    a = cfg["arch"]
+    rebuilt = DMM(mode=a["mode"],
+                  branch_layer=(a["branch_layer"]
+                                if isinstance(a["branch_layer"], int)
+                                else tuple(a["branch_layer"])),
+                  trunk_layer=tuple(a["trunk_layer"]),
+                  out_layer=tuple(a["out_layer"]),
+                  n_nodes=a.get("n_nodes"))
+    phi0 = model.apply(variables, u, xi)
+    phi1 = rebuilt.apply({"params": raw["params"]}, u, xi)
+    np.testing.assert_allclose(np.asarray(phi0), np.asarray(phi1), rtol=1e-6)
