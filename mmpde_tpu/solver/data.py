@@ -20,6 +20,7 @@ stop_gradient.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -27,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmpde_tpu import ops
+from mmpde_tpu.ops.knn import knn_query_uniform_grid
 from mmpde_tpu.models.dmm import DMM
 from mmpde_tpu.models.itpnet import ItpNet
 from mmpde_tpu.dmm.geometry import branch_features, phi_derivatives
@@ -145,19 +147,29 @@ class GraphPipeline:
     # ---------------- learned kNN interpolation ----------------
 
     def itp_interpolate(self, itp: ItpNet, itp_vars, values, src_pts,
-                        query_pts, mode: str):
+                        query_pts, mode: str, uniform_src: bool = False):
         """Move per-node values between meshes with learned kNN weights.
 
         values [B, N_src, C], src_pts [B, N_src, 2], query_pts [B, Q, 2]
         -> [B, Q, C].  (reference: GraphCreator_FS_2D.interpolate,
         data_creator_2d.py:46-85 — sklearn kNN replaced by device top_k.)
+
+        uniform_src: sources are the static uniform grid — with
+        MMPDE_GRID_KNN=1 the O(Q*window^2) analytic window search replaces
+        the O(Q*N) distance pass (opt-in fast path).
         """
         k = self.n_itp
 
-        def neighbors_of(src, q):
-            return ops.knn_query(src, q, k)
-
-        nbr = jax.vmap(neighbors_of)(src_pts, query_pts)        # [B, Q, k]
+        use_window = (uniform_src and self.is_grid
+                      and self.pde.grid_size[1] == self.pde.grid_size[2]
+                      and os.environ.get("MMPDE_GRID_KNN", "0") == "1")
+        if use_window:
+            n_side = self.pde.grid_size[1]
+            nbr = jax.vmap(lambda q: knn_query_uniform_grid(
+                n_side, q, k))(query_pts)                       # [B, Q, k]
+        else:
+            nbr = jax.vmap(lambda src, q: ops.knn_query(src, q, k))(
+                src_pts, query_pts)                             # [B, Q, k]
         nbr_pts = jax.vmap(lambda s, i: s[i])(src_pts, nbr)     # [B, Q, k, 2]
         nbr_val = jax.vmap(lambda v, i: v[i])(values, nbr)      # [B, Q, k, C]
         w = itp.apply(itp_vars, nbr_pts, query_pts[:, :, None, :], mode)
@@ -180,7 +192,7 @@ class GraphPipeline:
         # data_creator_2d.py:206-209)
         uy = self.itp_interpolate(itp, itp_vars,
                                   jnp.concatenate([u, y], axis=-1), src,
-                                  mesh, "1")
+                                  mesh, "1", uniform_src=True)
         u_m, y_m = uy[..., :self.tw], uy[..., self.tw:]
         nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
         return u_m, y_m, mesh, self._pos(mesh, steps), nbr

@@ -161,3 +161,27 @@ def test_boundary_points_layout():
     assert np.all(np.asarray(r)[:, 0] == 1.0)
     assert np.all(np.asarray(b)[:, 1] == 0.0)
     assert np.all(np.asarray(t)[:, 1] == 1.0)
+
+
+def test_knn_query_uniform_grid_matches_general():
+    from mmpde_tpu.ops.knn import knn_query_uniform_grid
+    rng = np.random.default_rng(7)
+    n_side, k = 24, 30
+    grid = uniform_grid(n_side)
+    q = jnp.asarray(rng.uniform(0.02, 0.98, size=(100, 2)), jnp.float32)
+    fast = np.asarray(knn_query_uniform_grid(n_side, q, k))
+    ref = np.asarray(knn_query(grid, q, k))
+    for i in range(len(q)):
+        assert set(fast[i].tolist()) == set(ref[i].tolist()), i
+
+
+def test_knn_query_uniform_grid_edge_queries():
+    from mmpde_tpu.ops.knn import knn_query_uniform_grid
+    n_side, k = 16, 30
+    grid = uniform_grid(n_side)
+    q = jnp.asarray([[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.5, 0.0]],
+                    jnp.float32)
+    fast = np.asarray(knn_query_uniform_grid(n_side, q, k))
+    ref = np.asarray(knn_query(grid, q, k))
+    for i in range(len(q)):
+        assert set(fast[i].tolist()) == set(ref[i].tolist()), i
