@@ -139,7 +139,7 @@ def main(args):
         u0 = u[:2]
         arch = {"mode": "array", "branch_layer": args.branch_layers,
                 "trunk_layer": [2] + args.trunk_layers,
-                "out_layer": args.out_layers}
+                "out_layer": args.out_layers, "s": int(u.shape[-1])}
     else:
         mesh = u[0, :, :2]
         grid = mesh

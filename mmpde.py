@@ -136,6 +136,13 @@ def main(args):
         if dmm.mode == "graph":
             dmm_grid = pipe.grid
             dmm_nbr = ops.knn_indices(dmm_grid, 35)
+        elif "s" in arch:
+            # the DMM branch conv was trained at its own resolution; the
+            # pipeline resizes solver fields to it before mesh movement
+            # (reference: movingmesh_grid_size + F.interpolate,
+            # data_creator_2d.py:102-103)
+            s = int(arch["s"])
+            pde.movingmesh_grid_size = (pde.grid_size[0], s, s)
 
         if args.experiment == 'cy':
             itp = ItpNet(ori_nx=pde.ori_grid_size[1], ori_ny=None,
