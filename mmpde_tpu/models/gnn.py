@@ -17,6 +17,7 @@ Radius graphs use the same layout with a validity mask (masked mean).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -73,8 +74,18 @@ class GNNLayer(nn.Module):
             [h, zh, u, pos_x, pos_y, variables], axis=-1))       # i-terms + b
         s_node = dense1(jnp.concatenate(
             [zh, h, -u, -pos_x, -pos_y, zv], axis=-1)) - bias    # j-terms
+        # MMPDE_BF16=1: edge tensors ([B,N,k,H] — the step's dominant HBM
+        # traffic) compute in bfloat16; per-node projections, the k-mean
+        # accumulation, updates and BatchNorm stay f32.
+        edge_dtype = (jnp.bfloat16
+                      if os.environ.get("MMPDE_BF16") == "1" else None)
+        if edge_dtype is not None:
+            a_node = a_node.astype(edge_dtype)
+            s_node = s_node.astype(edge_dtype)
         m = act(a_node[:, :, None, :] + gather_nodes(s_node, nbr))
         m = act(nn.Dense(self.hidden, name="message_net_2")(m))
+        if edge_dtype is not None:
+            m = m.astype(jnp.float32)
         if mask is None:
             m = jnp.mean(m, axis=2)
         else:

@@ -226,3 +226,22 @@ def test_gnn_factored_message_matches_concat():
     factored_pre = a_node[:, :, None, :] + gather_nodes(s_node, nbr)
     np.testing.assert_allclose(np.asarray(factored_pre),
                                np.asarray(oracle_pre), rtol=1e-4, atol=1e-5)
+
+
+def test_gnn_bf16_edge_compute_close_to_f32(monkeypatch):
+    import os
+    b, n, k, tw = 2, 25, 4, 1
+    grid = uniform_grid(5)
+    nbr = knn_indices(grid, k)
+    model = MPSolver2D(time_window=tw, hidden_features=128, hidden_layer=2)
+    u = jax.random.normal(jax.random.PRNGKey(0), (b, n, tw))
+    pos = jnp.concatenate(
+        [jnp.zeros((b, n, 1)), jnp.broadcast_to(grid[None], (b, n, 2))], -1)
+    variables = model.init(jax.random.PRNGKey(1), u, pos, nbr)
+    ref = model.apply(variables, u, pos, nbr)
+    monkeypatch.setenv("MMPDE_BF16", "1")
+    # env is read at trace time; fresh apply retraces
+    out = model.apply(variables, u, pos, nbr)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    err = float(jnp.max(jnp.abs(out - ref))) / scale
+    assert err < 0.05, err
