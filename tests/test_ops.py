@@ -185,3 +185,12 @@ def test_knn_query_uniform_grid_edge_queries():
     ref = np.asarray(knn_query(grid, q, k))
     for i in range(len(q)):
         assert set(fast[i].tolist()) == set(ref[i].tolist()), i
+
+
+def test_weighted_choice_wrapper():
+    from mmpde_tpu.ops.sampling import weighted_choice
+    key = jax.random.PRNGKey(0)
+    probs = jnp.asarray([0.9, 0.05, 0.05])
+    draws = np.asarray(jax.vmap(
+        lambda k: weighted_choice(k, probs, 1))(jax.random.split(key, 500)))
+    assert (draws == 0).mean() > 0.8
