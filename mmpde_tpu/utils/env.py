@@ -11,8 +11,23 @@ from __future__ import annotations
 import os
 
 
+def enable_fast_paths():
+    """Default-on validated fast paths (opt out with =0):
+
+    MMPDE_BF16      bfloat16 GNN edge-tensor compute (f32 accumulation)
+    MMPDE_GRID_KNN  analytic window kNN for uniform-grid queries
+
+    Together: 4.81 -> 5.17 steps/s on the flagship benchmark (RESULTS.md),
+    with numerics covered by tests/test_models.py and tests/test_ops.py.
+    """
+    os.environ.setdefault("MMPDE_BF16", "1")
+    os.environ.setdefault("MMPDE_GRID_KNN", "1")
+
+
 def setup_compilation_cache(cache_dir: str | None = None):
     import jax
+
+    enable_fast_paths()
 
     try:
         if jax.default_backend() != "tpu":
