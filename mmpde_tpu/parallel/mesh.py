@@ -26,15 +26,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names=("dp", "node")) -> Mesh:
+              axis_names=("dp", "node"),
+              shape: Optional[tuple] = None) -> Mesh:
     """1-D (dp) or 2-D (dp, node) device mesh.
 
     By default all devices go to dp and the node axis is 1 (pure data
-    parallelism — the right default for reference-sized meshes).
+    parallelism — the right default for reference-sized meshes).  Pass
+    ``shape=(dp, node)`` to split devices across both axes, e.g.
+    ``make_mesh(8, shape=(4, 2))``.
     """
     devices = jax.devices()
     n = n_devices or len(devices)
-    devs = np.asarray(devices[:n]).reshape(n, 1)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, f"mesh shape {shape} != {n} devices"
+    devs = np.asarray(devices[:n]).reshape(shape)
     return Mesh(devs, axis_names)
 
 

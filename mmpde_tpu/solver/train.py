@@ -77,7 +77,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   itp: Optional[ItpNet] = None,
                   dmm: Optional[DMM] = None, dmm_vars=None,
                   dmm_grid=None, dmm_nbr=None, train: bool = True,
-                  window_input: bool = False):
+                  window_input: bool = False, node_sharding=None):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
@@ -86,21 +86,33 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
     window_input=True: the step takes pre-sliced (data, labels, steps)
     windows — e.g. from the native C++ loader — instead of full
     trajectories, so only 2*tw frames cross host->device per batch.
+
+    node_sharding: optional NamedSharding (e.g. P('dp','node')) applied as
+    a with_sharding_constraint on the [B, N, ...] node tensors so GSPMD
+    shards the message-passing compute along the node axis and inserts the
+    gather collectives over ICI.
     """
     moving = model_b is not None
     mask = pipe.uniform_mask
 
+    def _c(x):
+        if node_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, node_sharding)
+
     def forward(params, batch_stats, data, labels, steps, is_train):
         u_u, y_u, _, pos_u = pipe.uniform_graph(data, labels, steps)
+        u_u, y_u, pos_u = _c(u_u), _c(y_u), _c(pos_u)
         new_stats = dict(batch_stats)
         if moving:
             itp_vars = {"params": params["itp"]}
-            u_m, y_m, mesh, pos_m, nbr_m = pipe.moved_graph(
+            u_m, y_m, mesh, pos_m, nbr_m, mask_m = pipe.moved_graph(
                 dmm, dmm_vars, itp, itp_vars, data, labels, steps,
                 dmm_grid, dmm_nbr)
+            u_m, pos_m = _c(u_m), _c(pos_m)
             pred_b, st_b = _solver_apply(model_b, params["model_b"],
                                          batch_stats["model_b"], u_m, pos_m,
-                                         nbr_m, is_train, None)
+                                         nbr_m, is_train, mask_m)
             pred_m = pipe.interpolate_pred(itp, itp_vars, pred_b, mesh, data)
             new_stats["model_b"] = st_b["batch_stats"]
         pred_u, st = _solver_apply(model, params["model"],
@@ -152,7 +164,7 @@ def make_itp_step(pipe: GraphPipeline, optimizer, itp: ItpNet,
     def loss_fn(params, u_traj, steps):
         itp_vars = {"params": params["itp"]}
         data, labels = pipe.create_data(u_traj, steps)
-        u_m, _, mesh, _, _ = pipe.moved_graph(
+        u_m, _, mesh, _, _, _ = pipe.moved_graph(
             dmm, dmm_vars, itp, itp_vars, data, labels, steps,
             dmm_grid, dmm_nbr)
         u_rec = pipe.interpolate_pred(itp, itp_vars, u_m, mesh, data)
