@@ -35,13 +35,13 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
             u_u, pos_u, pipe.uniform_nbr, False, pipe.uniform_mask)
         if moving:
             itp_vars = {"params": params["itp"]}
-            u_m, _, mesh, pos_m, nbr_m = pipe.moved_graph(
+            u_m, _, mesh, pos_m, nbr_m, mask_m = pipe.moved_graph(
                 dmm, dmm_vars, itp, itp_vars, data, labels, steps,
                 dmm_grid, dmm_nbr)
             pred_b = model_b.apply(
                 {"params": params["model_b"],
                  "batch_stats": batch_stats["model_b"]},
-                u_m, pos_m, nbr_m, False)
+                u_m, pos_m, nbr_m, False, mask_m)
             pred_u = pred_u + pipe.interpolate_pred(itp, itp_vars, pred_b,
                                                     mesh, data)
         # [B, N, tw] -> window layout [B, tw, ...spatial]

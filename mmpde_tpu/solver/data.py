@@ -69,13 +69,17 @@ class GraphPipeline:
             self.radius = self.n * float(np.sqrt(2.0)) * dx + 1e-4
 
         self.n_nodes = self.grid.shape[0]
+        # fixed-degree cap for radius graphs (torch_cluster.radius_graph
+        # also caps, at max_num_neighbors=32; 4*n keeps strictly more at the
+        # reference n=35)
+        self.max_radius_k = 4 * self.n
         # static uniform-mesh connectivity (computed once)
         if connect_edge == "knn":
             self.uniform_nbr = ops.knn_indices(self.grid, self.n)
             self.uniform_mask = None
         elif connect_edge == "radius":
             idx, mask = ops.radius_neighbors(self.grid, self.radius,
-                                             max_k=4 * self.n)
+                                             max_k=self.max_radius_k)
             self.uniform_nbr, self.uniform_mask = idx, mask
         else:
             raise ValueError(f"unknown connect_edge {connect_edge!r}")
@@ -160,8 +164,13 @@ class GraphPipeline:
         """
         k = self.n_itp
 
+        # the analytic window search assumes the unit square (it clips
+        # queries to [0,1] and derives candidates as i/(n-1)), so gate on
+        # Lx == Ly == 1 in addition to grid squareness
         use_window = (uniform_src and self.is_grid
                       and self.pde.grid_size[1] == self.pde.grid_size[2]
+                      and float(self.pde.Lx) == 1.0
+                      and float(self.pde.Ly) == 1.0
                       and os.environ.get("MMPDE_GRID_KNN", "0") == "1")
         if use_window:
             n_side = self.pde.grid_size[1]
@@ -177,11 +186,13 @@ class GraphPipeline:
 
     def moved_graph(self, dmm, dmm_vars, itp, itp_vars, data, labels, steps,
                     dmm_grid=None, dmm_nbr=None):
-        """Moved-mesh graph with re-interpolated data/labels + dynamic kNN.
+        """Moved-mesh graph with re-interpolated data/labels + dynamic edges.
 
         Returns (u [B,N,tw], y [B,N,tw], mesh [B,N,2], pos [B,N,3],
-        nbr [B,N,k]).  (reference: create_graph with mesh_model,
-        data_creator_2d.py:157-267.)
+        nbr [B,N,k], nbr_mask [B,N,k] or None).  The moved graph uses the
+        SAME edge type the pipeline was configured with — kNN or radius —
+        matching the reference, which builds whichever edge type was
+        requested for both graphs (data_creator_2d.py:256-260).
         """
         u, y = self._node_fields(data, labels)
         b = u.shape[0]
@@ -194,8 +205,14 @@ class GraphPipeline:
                                   jnp.concatenate([u, y], axis=-1), src,
                                   mesh, "1", uniform_src=True)
         u_m, y_m = uy[..., :self.tw], uy[..., self.tw:]
-        nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
-        return u_m, y_m, mesh, self._pos(mesh, steps), nbr
+        if self.e == "radius":
+            nbr, nbr_mask = jax.vmap(
+                lambda p: ops.radius_neighbors(p, self.radius,
+                                               max_k=self.max_radius_k))(mesh)
+        else:
+            nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
+            nbr_mask = None
+        return u_m, y_m, mesh, self._pos(mesh, steps), nbr, nbr_mask
 
     def interpolate_pred(self, itp, itp_vars, pred, mesh, data):
         """Moved-mesh prediction -> uniform mesh + residual-cut correction.

@@ -129,6 +129,41 @@ def test_moving_mesh_two_branch_step(tiny_setup):
     assert np.isfinite(float(el))
 
 
+def test_moved_graph_radius_edges_vs_dense_oracle(tiny_setup):
+    """connect_edge='radius' must apply to the MOVED graph too (reference
+    data_creator_2d.py:256-260 builds the requested edge type for both
+    graphs): the masked-in neighbor sets must equal a dense numpy oracle."""
+    pde, _, u = tiny_setup
+    pipe = GraphPipeline(pde, neighbors=1, connect_edge="radius",
+                         time_window=1, t_resolution=NT)
+    pipe.max_radius_k = 32  # headroom so truncation can't hide in the test
+    key = jax.random.PRNGKey(0)
+    dmm = DMM(mode="array", branch_layer=7, trunk_layer=(2, 16, 32),
+              out_layer=(64, 32, 1))
+    dmm_vars = dmm.init(key, jnp.ones((2, NX, NX)), jnp.zeros((2, 3, 2)))
+    itp = ItpNet(ori_nx=NX, ori_ny=NX, layers1=(16,), layers2=(16,),
+                 res_cut_node=(1, 2, 1))
+    nbq, qq = jnp.ones((1, 2, 30, 2)), jnp.ones((1, 2, 1, 2))
+    itp_params = {**itp.init(key, nbq, qq, "1")["params"],
+                  **itp.init(key, nbq, qq, "2")["params"],
+                  **itp.init(key, None, None, "res_cut",
+                             jnp.ones((1, 1, NX, NX)))["params"]}
+    itp_vars = {"params": itp_params}
+    steps = jnp.asarray([3, 7])
+    data, labels = pipe.create_data(jnp.asarray(u[:2]), steps)
+    u_m, y_m, mesh, pos, nbr, mask = pipe.moved_graph(
+        dmm, dmm_vars, itp, itp_vars, data, labels, steps)
+    assert mask is not None and nbr.shape == mask.shape
+    mesh_np = np.asarray(mesh)
+    for b in range(2):
+        d = np.linalg.norm(mesh_np[b][:, None] - mesh_np[b][None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        for i in range(pipe.n_nodes):
+            oracle = set(np.flatnonzero(d[i] <= pipe.radius))
+            got = set(np.asarray(nbr[b, i])[np.asarray(mask[b, i])])
+            assert got == oracle, (b, i)
+
+
 def test_test_timestep_losses_runs(tiny_setup):
     pde, pipe, u = tiny_setup
     model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=1,
