@@ -83,7 +83,9 @@ struct Sampler {
   Dataset* ds = nullptr;
   int batch = 0, tw = 0;
   int64_t lo = 0, hi = 0;      // trajectory index range [lo, hi)
-  int max_unroll_shrink = 0;   // current pushforward range shrink (tw units)
+  // current pushforward range shrink (tw units); written by the consumer
+  // thread (mm_sampler_set_shrink), read by the producer in fill()
+  std::atomic<int> max_unroll_shrink{0};
   std::mt19937_64 rng;
 
   // ring of prefilled batches
@@ -98,8 +100,12 @@ struct Sampler {
     const int64_t nt = ds->shape[1];
     const int64_t sp = ds->spatial;
     std::uniform_int_distribution<int64_t> traj_d(lo, hi - 1);
-    int64_t shrink = (int64_t)tw * max_unroll_shrink;
-    int64_t step_hi = nt - tw - shrink;  // exclusive upper for start step
+    int64_t shrink =
+        (int64_t)tw * max_unroll_shrink.load(std::memory_order_relaxed);
+    // exclusive upper bound: the last valid start step nt - tw - shrink is
+    // included, matching train.py random_start_steps and the reference's
+    // range(tw, nt - tw - shrink + 1)
+    int64_t step_hi = nt - tw - shrink + 1;
     if (step_hi <= tw) step_hi = tw + 1;
     std::uniform_int_distribution<int64_t> step_d(tw, step_hi - 1);
     for (int i = 0; i < batch; ++i) {
@@ -199,7 +205,7 @@ void* mm_sampler_new(void* dsh, int batch, int tw, int64_t lo, int64_t hi,
 void mm_sampler_set_shrink(void* sh, int shrink) {
   // pushforward-style sampling-range shrink (train_helper_2d.py:100-104).
   // Takes effect on subsequently produced batches.
-  ((Sampler*)sh)->max_unroll_shrink = shrink;
+  ((Sampler*)sh)->max_unroll_shrink.store(shrink, std::memory_order_relaxed);
 }
 
 // Copies the next prefilled batch into caller-owned buffers.
