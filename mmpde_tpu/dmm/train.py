@@ -192,10 +192,71 @@ def rf_loss(w, rf_feats, interior: S.InteriorBatch, cfg: DMMTrainConfig,
             loss_cfg.loss_weight2 * loss_convex)
 
 
+def _make_newton_cg_solver(fn, n_newton: int, cg_iters: int = 32):
+    """Scan-based Newton-CG on a small dense problem (the RF last-layer
+    weight, <= 512 params) — the equivalent of torchmin's 'newton-cg'
+    option (reference mesh/dmm_utils.py:935-944).
+
+    Each Newton iteration CG-solves H p = g with Hessian-vector products
+    (jvp of grad — H never materializes), then Armijo-backtracks on
+    f(w - t p); non-positive curvature freezes the CG iterate and a
+    non-descent direction falls back to the gradient.
+    """
+    grad_fn = jax.grad(fn)
+
+    def hvp(w, v):
+        return jax.jvp(grad_fn, (w,), (v,))[1]
+
+    def newton_step(w, _):
+        g = grad_fn(w)
+
+        def cg_body(carry, _):
+            p, r, d, rs = carry
+            hd = hvp(w, d)
+            denom = jnp.vdot(d, hd)
+            ok = denom > 1e-16
+            alpha = jnp.where(ok, rs / jnp.where(ok, denom, 1.0), 0.0)
+            p2 = jnp.where(ok, p + alpha * d, p)
+            r2 = jnp.where(ok, r - alpha * hd, r)
+            rs2 = jnp.where(ok, jnp.vdot(r2, r2), rs)
+            beta = jnp.where(ok, rs2 / jnp.maximum(rs, 1e-30), 0.0)
+            d2 = jnp.where(ok, r2 + beta * d, d)
+            return (p2, r2, d2, rs2), None
+
+        init = (jnp.zeros_like(g), g, g, jnp.vdot(g, g))
+        (p, _, _, _), _ = jax.lax.scan(cg_body, init, None, length=cg_iters)
+        # descent check: p ~ H^-1 g must positively correlate with g
+        gp = jnp.vdot(g, p)
+        p = jnp.where(gp > 0, p, g)
+        gp = jnp.where(gp > 0, gp, jnp.vdot(g, g))
+
+        f0 = fn(w)
+        ts = 0.5 ** jnp.arange(25, dtype=w.dtype)
+        fs = jax.vmap(lambda t: fn(w - t * p))(ts)
+        armijo = fs <= f0 - 1e-4 * ts * gp
+        # first step length satisfying Armijo, else the best trial
+        first = jnp.argmax(armijo)
+        best = jnp.argmin(fs)
+        idx = jnp.where(jnp.any(armijo), first, best)
+        w_new = w - ts[idx] * p
+        improved = fs[idx] < f0
+        w = jnp.where(improved, w_new, w)
+        return w, jnp.where(improved, fs[idx], f0)
+
+    @jax.jit
+    def solve(w):
+        w, values = jax.lax.scan(newton_step, w, None, length=n_newton)
+        return w, values[-1]
+
+    return solve
+
+
 def rf_refit(model: DMM, variables, cfg: DMMTrainConfig,
              loss_cfg: MALossConfig, key, all_u, mesh=None,
-             grid=None, nbr=None):
-    """One RF epoch: sample, extract features, L-BFGS the final weight.
+             grid=None, nbr=None, alg: str = "BFGS"):
+    """One RF epoch: sample, extract features, solve for the final weight
+    with L-BFGS (alg='BFGS') or Newton-CG (alg='Newton'), mirroring the
+    reference's torchmin BFGS/Newton-CG choice (mesh/dmm_utils.py:935-944).
 
     Returns updated params (out_nn final kernel replaced).
     """
@@ -210,24 +271,31 @@ def rf_refit(model: DMM, variables, cfg: DMMTrainConfig,
     w0 = out_layers[last]["kernel"][:, 0]            # [F]
 
     fn = lambda w: rf_loss(w, rf_feats, interior, cfg, loss_cfg)  # noqa: E731
-    opt = optax.lbfgs(learning_rate=None)
 
-    @jax.jit
-    def solve(w):
-        opt_state = opt.init(w)
-        value_and_grad = optax.value_and_grad_from_state(fn)
+    if alg.lower().startswith("newton"):
+        # each Newton iteration costs ~cg_iters HVPs; scale the outer count
+        # down from the L-BFGS iteration budget accordingly
+        solve = _make_newton_cg_solver(fn, n_newton=max(1, cfg.max_iter // 6))
+    else:
+        opt = optax.lbfgs(learning_rate=None)
 
-        def body(carry, _):
-            w, opt_state = carry
-            value, grad = value_and_grad(w, state=opt_state)
-            updates, opt_state = opt.update(grad, opt_state, w, value=value,
-                                            grad=grad, value_fn=fn)
-            w = optax.apply_updates(w, updates)
-            return (w, opt_state), value
+        @jax.jit
+        def solve(w):
+            opt_state = opt.init(w)
+            value_and_grad = optax.value_and_grad_from_state(fn)
 
-        (w, _), values = jax.lax.scan(body, (w, opt_state), None,
-                                      length=cfg.max_iter)
-        return w, values[-1]
+            def body(carry, _):
+                w, opt_state = carry
+                value, grad = value_and_grad(w, state=opt_state)
+                updates, opt_state = opt.update(grad, opt_state, w,
+                                                value=value, grad=grad,
+                                                value_fn=fn)
+                w = optax.apply_updates(w, updates)
+                return (w, opt_state), value
+
+            (w, _), values = jax.lax.scan(body, (w, opt_state), None,
+                                          length=cfg.max_iter)
+            return w, values[-1]
 
     w_new, final_loss = solve(w0)
     new_params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy

@@ -54,6 +54,37 @@ def test_lbfgs_runner_reduces_loss(setup):
     assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_rf_refit_newton_cg(setup):
+    """--rf_opt_alg Newton runs the Newton-CG solver: decreases the RF
+    objective and touches only the final out_nn kernel."""
+    model, variables, all_u, cfg, loss_cfg = setup
+    params0 = variables["params"]
+    params1, rf_loss1 = DT.rf_refit(model, variables, cfg, loss_cfg,
+                                    jax.random.PRNGKey(4), all_u,
+                                    alg="Newton")
+    assert np.isfinite(rf_loss1)
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(params1)[0])
+    changed = [jax.tree_util.keystr(k) for k, v0 in flat0
+               if not np.allclose(np.asarray(v0), np.asarray(flat1[k]))]
+    assert changed == ["['out_nn']['dense_1']['kernel']"], changed
+
+
+def test_newton_cg_solver_quadratic_oracle():
+    """Newton-CG must solve a strongly convex quadratic to near-optimality
+    in a handful of iterations (closed-form solution oracle)."""
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (12, 12))
+    H = a @ a.T + 0.5 * jnp.eye(12)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (12,))
+    fn = lambda w: 0.5 * w @ H @ w - b @ w  # noqa: E731
+    solve = DT._make_newton_cg_solver(fn, n_newton=5)
+    w, val = solve(jnp.zeros(12))
+    w_star = jnp.linalg.solve(H, b)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_star),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_rf_refit_changes_final_layer_only(setup):
     model, variables, all_u, cfg, loss_cfg = setup
     params0 = variables["params"]
