@@ -78,6 +78,11 @@ def get_args(argv=None):
                         help='use the C++ prefetching window loader '
                              '(Burgers only; ships 2*tw frames per batch '
                              'instead of full trajectories)')
+    parser.add_argument('--dp', type=int, default=1,
+                        help='data-parallel devices: shard the batch across '
+                             'a dp-way jax mesh (params replicated; XLA '
+                             'inserts the gradient psum over ICI). '
+                             'batch_size must be divisible by dp.')
     return parser.parse_args(argv)
 
 
@@ -225,6 +230,22 @@ def main(args):
         start_epoch = int((rcfg or {}).get("epoch", -1)) + 1
         print(f'Resumed from {args.resume} at epoch {start_epoch}')
 
+    # ---- data parallelism (--dp): shard the batch, replicate the state ----
+    dp_mesh = None
+    if args.dp > 1:
+        from mmpde_tpu.parallel import make_mesh, replicate
+        n_dev = len(jax.devices())
+        if n_dev < args.dp:
+            raise RuntimeError(f'--dp {args.dp} needs {args.dp} devices, '
+                               f'have {n_dev}')
+        if args.batch_size % args.dp:
+            raise ValueError(f'--batch_size {args.batch_size} not divisible '
+                             f'by --dp {args.dp}')
+        dp_mesh = make_mesh(args.dp)
+        state = replicate(dp_mesh, state)
+        if dmm_vars is not None:
+            dmm_vars = replicate(dp_mesh, dmm_vars)
+
     use_native = bool(args.native_loader) and args.experiment == 'burgers' \
         and args.model == 'GNN'
     if args.model == 'GNN':
@@ -236,6 +257,16 @@ def main(args):
     else:
         step_fn = T.make_cnn_step(pipe, model, optimizer, train=True)
         eval_fn = T.make_cnn_step(pipe, model, None, train=False)
+
+    if dp_mesh is not None:
+        from mmpde_tpu.parallel import shard_batch
+
+        def _dp_wrap(fn):
+            if fn is None:
+                return None
+            return lambda st, *inputs: fn(st, *shard_batch(dp_mesh, inputs))
+
+        step_fn, eval_fn = _dp_wrap(step_fn), _dp_wrap(eval_fn)
 
     native_loader = None
     if use_native:
@@ -266,6 +297,8 @@ def main(args):
     if args.moving_mesh and args.model == 'GNN':
         itp_step = T.make_itp_step(pipe, optimizer, itp, dmm, dmm_vars,
                                    dmm_grid, dmm_nbr)
+        if dp_mesh is not None:
+            itp_step = _dp_wrap(itp_step)
 
     n_inner = args.inner_loops
     test_losses = []

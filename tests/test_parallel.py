@@ -94,6 +94,60 @@ def test_dp_gradient_psum_equivalence():
 
 
 @requires_8
+def test_dp_train_epoch_matches_single_device():
+    """The --dp path: a full dp-sharded train_epoch (sharded batches,
+    replicated state, XLA-inserted gradient psum) produces the same epoch
+    loss trajectory as the single-device epoch."""
+    from mmpde_tpu.pdes import burgers
+    from mmpde_tpu.solver.data import GraphPipeline
+    from mmpde_tpu.solver import train as T
+
+    nt, nx, batch = 7, 8, 8
+    pde = burgers(grid_size=(nt, nx, nx), tmax=5.0)
+    pipe = GraphPipeline(pde, neighbors=3, time_window=1, t_resolution=nt)
+    model = MPSolver2D(time_window=1, hidden_features=16, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"]}
+    stats = {"model": v["batch_stats"]}
+    opt = T.make_optimizer(1e-3)
+
+    def fresh_state():
+        return T.TrainState(params=params, batch_stats=stats,
+                            opt_state=opt.init(params),
+                            step=jnp.zeros((), jnp.int32))
+
+    u_train = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (16, nt, nx, nx)), dtype=np.float32)
+    step_fn = T.make_gnn_step(pipe, model, opt, train=True)
+
+    # single-device epoch
+    rng = np.random.default_rng(7)
+    state1, loss1 = T.train_epoch(rng, pipe, step_fn, fresh_state(),
+                                  u_train, batch, 0, n_inner=2)
+
+    # dp-sharded epoch: same rng stream -> identical batches
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    dp_step = lambda st, *a: step_fn(st, *shard_batch(mesh, a))  # noqa: E731
+    state8, loss8 = T.train_epoch(rng, pipe, dp_step,
+                                  replicate(mesh, fresh_state()),
+                                  u_train, batch, 0, n_inner=2)
+
+    assert np.isfinite(loss1) and np.isfinite(loss8)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    # Adam turns reduction-order noise in near-zero gradients into O(lr)
+    # update-direction flips, so params agree in absolute terms only:
+    # |diff| << cumulative update scale (4 steps x lr 1e-3)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state1.params),
+                     jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-3)
+
+
+@requires_8
 def test_shard_map_gather_matches_local():
     from jax.sharding import Mesh
     from mmpde_tpu.parallel.node_parallel import (
