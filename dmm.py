@@ -277,7 +277,8 @@ def main(args):
     # ---- mesh plots (mesh/dmm.py:97-122) ----
     if args.plot:
         os.makedirs(args.experiment, exist_ok=True)
-        from mmpde_tpu.eval.plotting import plot_mesh_res, plot_mesh_res_tri
+        from mmpde_tpu.eval.plotting import (plot_mesh_res, plot_mesh_res_tri,
+                                             plot_mesh_res_tri_s)
         variables_now = dict(extra_vars, params=params)
         stamp = datetime.now().strftime('%m-%d-%H-%M-%S')
         if args.experiment == 'burgers':
@@ -286,6 +287,13 @@ def main(args):
                 plot_mesh_res(model, variables_now, u[:111], s, p)
                 print(p)
         else:
+            # multi-size quad-probe plots per test grid size, then the
+            # Delaunay tri wireframe (reference mesh/dmm.py:108-122)
+            for s in args.test_grid_size:
+                p = f'{args.experiment}/mesh_{stamp}_s{s}_tri.png'
+                plot_mesh_res_tri_s(model, variables_now, u[:, :, 2], mesh,
+                                    s, p, grid=grid, nbr=nbr)
+                print(p)
             p = f'{args.experiment}/mesh_{stamp}_tri.png'
             plot_mesh_res_tri(model, variables_now, u[:, :, 2], mesh, p,
                               grid=grid, nbr=nbr)

@@ -46,6 +46,49 @@ def plot_mesh_res(model, variables, u, s: int, save_path: str,
     return save_path
 
 
+def plot_mesh_res_tri_s(model, variables, u, mesh, s: int, save_path: str,
+                        grid=None, nbr=None, time_indices=None):
+    """Cylinder, multi-size variant (reference: plot_mesh_res_tri_s,
+    mesh/dmm_utils.py:1288-1351): an s x s uniform QUAD probe grid moved by
+    the DMM, drawn in green over monitor contours computed from the
+    autograd gradient of the softmax-IDW interpolant of the scattered
+    field on an n x n uniform grid (n = sqrt(n_nodes)).
+
+    u [M, n_nodes] tri-mesh field snapshots, mesh [n_nodes, 2].
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from mmpde_tpu.dmm.sampler import _grid_gradients_tri
+
+    if time_indices is None:
+        time_indices = [min(6 * i + 5, u.shape[0] - 1) for i in range(5)]
+    n = int(np.sqrt(u.shape[-1]))
+    xi = jnp.asarray(ops.uniform_grid(s))[None]
+
+    fig, axes = plt.subplots(1, 5, figsize=(20, 3), dpi=200)
+    for ax_i, t in enumerate(time_indices):
+        ax = axes[ax_i]
+        ax.set_title(f"t={t}")
+        ut = jnp.asarray(u[t:t + 1])
+        ux, uy = _grid_gradients_tri(ut, jnp.asarray(mesh), n)
+        alpha = jnp.sum(jnp.sqrt(ux ** 2 + uy ** 2 + 1e-24),
+                        axis=(-2, -1)) / (n - 1) ** 2
+        m = np.asarray(ops.monitor(alpha[:, None, None], ux, uy)[0])
+        ax.contourf(m.T, 50, cmap="binary",
+                    extent=(0, n - 1, 0, n - 1), origin="lower")
+        x = np.asarray(_moved_grid(model, variables, ut, xi,
+                                   grid, nbr)[0])
+        x = x.reshape(s, s, 2) * (n - 1)
+        for j in range(s):
+            ax.plot(x[j, :, 0], x[j, :, 1], lw=0.3, color="green")
+            ax.plot(x[:, j, 0], x[:, j, 1], lw=0.3, color="green")
+    fig.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
 def plot_mesh_res_tri(model, variables, u, mesh, save_path: str,
                       grid=None, nbr=None, time_indices=None):
     """Cylinder: Delaunay wireframe of the moved scattered mesh

@@ -144,3 +144,40 @@ def test_dmm_checkpoint_arch_rebuild(tmp_path):
     phi0 = model.apply(variables, u, xi)
     phi1 = rebuilt.apply({"params": raw["params"]}, u, xi)
     np.testing.assert_allclose(np.asarray(phi0), np.asarray(phi1), rtol=1e-6)
+
+
+def test_mesh_plotting_smoke(tmp_path):
+    """All three plot functions render to files on tiny inputs (reference
+    plot_mesh_res / plot_mesh_res_tri / plot_mesh_res_tri_s,
+    mesh/dmm_utils.py:1288-1465)."""
+    from mmpde_tpu.eval.plotting import (plot_mesh_res, plot_mesh_res_tri,
+                                         plot_mesh_res_tri_s)
+
+    key = jax.random.PRNGKey(0)
+    s_grid = 9
+    model = DMM(mode="array", branch_layer=7, trunk_layer=(2, 8, 16),
+                out_layer=(32, 16, 1))
+    u = jax.random.normal(key, (6, s_grid, s_grid))
+    variables = model.init(jax.random.PRNGKey(1), u[:2], jnp.zeros((2, 3, 2)))
+    p = plot_mesh_res(model, variables, np.asarray(u), 5,
+                      str(tmp_path / "quad.png"), time_indices=[0, 1, 2, 3, 4])
+    assert os.path.getsize(p) > 0
+
+    n_nodes = 25
+    mesh = np.asarray(jax.random.uniform(key, (n_nodes, 2)), dtype=np.float32)
+    model_g = DMM(mode="graph", branch_layer=(4, 2), trunk_layer=(2, 8, 16),
+                  out_layer=(32, 16, 1), n_nodes=n_nodes)
+    from mmpde_tpu import ops
+    grid = jnp.asarray(mesh)
+    nbr = ops.knn_indices(grid, 4)
+    u_tri = jax.random.normal(key, (6, n_nodes))
+    vg = model_g.init(jax.random.PRNGKey(2), u_tri[:2], jnp.zeros((2, 3, 2)),
+                      grid, nbr)
+    p = plot_mesh_res_tri(model_g, vg, np.asarray(u_tri), mesh,
+                          str(tmp_path / "tri.png"), grid=grid, nbr=nbr,
+                          time_indices=[0, 1, 2, 3, 4])
+    assert os.path.getsize(p) > 0
+    p = plot_mesh_res_tri_s(model_g, vg, np.asarray(u_tri), mesh, 4,
+                            str(tmp_path / "tri_s.png"), grid=grid, nbr=nbr,
+                            time_indices=[0, 1, 2, 3, 4])
+    assert os.path.getsize(p) > 0
