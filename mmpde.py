@@ -78,6 +78,11 @@ def get_args(argv=None):
                         help='use the C++ prefetching window loader '
                              '(Burgers only; ships 2*tw frames per batch '
                              'instead of full trajectories)')
+    parser.add_argument('--residual_head', type=eval, default=False,
+                        help='predict u_last + delta instead of the labels '
+                             'directly (documented divergence; the '
+                             'reference head omits the residual, which '
+                             'hurts rollout stability)')
     parser.add_argument('--dp', type=int, default=1,
                         help='data-parallel devices: shard the batch across '
                              'a dp-way jax mesh (params replicated; XLA '
@@ -251,11 +256,16 @@ def main(args):
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
-                                  train=True, window_input=use_native)
+                                  train=True, window_input=use_native,
+                                  donate=True,
+                                  residual_head=args.residual_head)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
-                                  dmm, dmm_vars, dmm_grid, dmm_nbr, train=False)
+                                  dmm, dmm_vars, dmm_grid, dmm_nbr,
+                                  train=False,
+                                  residual_head=args.residual_head)
     else:
-        step_fn = T.make_cnn_step(pipe, model, optimizer, train=True)
+        step_fn = T.make_cnn_step(pipe, model, optimizer, train=True,
+                                  donate=True)
         eval_fn = T.make_cnn_step(pipe, model, None, train=False)
 
     if dp_mesh is not None:
@@ -296,7 +306,7 @@ def main(args):
     itp_step = None
     if args.moving_mesh and args.model == 'GNN':
         itp_step = T.make_itp_step(pipe, optimizer, itp, dmm, dmm_vars,
-                                   dmm_grid, dmm_nbr)
+                                   dmm_grid, dmm_nbr, donate=True)
         if dp_mesh is not None:
             itp_step = _dp_wrap(itp_step)
 

@@ -20,9 +20,13 @@ from mmpde_tpu.solver.data import GraphPipeline
 
 
 def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
-                 dmm=None, dmm_vars=None, dmm_grid=None, dmm_nbr=None):
+                 dmm=None, dmm_vars=None, dmm_grid=None, dmm_nbr=None,
+                 residual_head: bool = False):
     """Returns rollout(state, u_init [B, tw, ...spatial], n_steps) ->
-    predictions [B, n_steps, tw, ...spatial] on the uniform mesh."""
+    predictions [B, n_steps, tw, ...spatial] on the uniform mesh.
+
+    residual_head must match the flag the model was trained with
+    (make_gnn_step(residual_head=...))."""
     moving = model_b is not None
     tw = pipe.tw
 
@@ -44,6 +48,8 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
                 u_m, pos_m, nbr_m, False, mask_m)
             pred_u = pred_u + pipe.interpolate_pred(itp, itp_vars, pred_b,
                                                     mesh, data)
+        if residual_head:
+            pred_u = pred_u + u_u[..., -1:]
         # [B, N, tw] -> window layout [B, tw, ...spatial]
         b = pred_u.shape[0]
         return jnp.swapaxes(pred_u, 1, 2).reshape(data.shape)

@@ -77,7 +77,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   itp: Optional[ItpNet] = None,
                   dmm: Optional[DMM] = None, dmm_vars=None,
                   dmm_grid=None, dmm_nbr=None, train: bool = True,
-                  window_input: bool = False, node_sharding=None):
+                  window_input: bool = False, node_sharding=None,
+                  donate: bool = False, residual_head: bool = False):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
@@ -91,6 +92,16 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
     a with_sharding_constraint on the [B, N, ...] node tensors so GSPMD
     shards the message-passing compute along the node axis and inserts the
     gather collectives over ICI.
+
+    donate=True: donate the TrainState buffers to the jitted step (the old
+    params/opt-state are dead after the update; donation lets XLA update
+    in place instead of double-buffering ~2x the model memory).  Callers
+    must not reuse the input state afterwards.
+
+    residual_head=True (documented divergence, DIVERGENCES.md): predict
+    u_last + delta instead of the labels directly.  The reference head
+    omits the u_last residual (gnn_2d.py:137-139), which hurts
+    autoregressive rollout stability.
     """
     moving = model_b is not None
     mask = pipe.uniform_mask
@@ -120,6 +131,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                                    pipe.uniform_nbr, is_train, mask)
         new_stats["model"] = st["batch_stats"]
         pred = pred_m + pred_u if moving else pred_u
+        if residual_head:
+            pred = pred + u_u[..., -1:]
         loss = jnp.mean((pred - y_u) ** 2)
         return loss, new_stats
 
@@ -140,7 +153,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
             return loss
         return eval_step
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, *args):
         data, labels, steps = _inputs(args)
         (loss, new_stats), grads = jax.value_and_grad(
@@ -156,7 +169,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
 
 
 def make_itp_step(pipe: GraphPipeline, optimizer, itp: ItpNet,
-                  dmm: DMM, dmm_vars, dmm_grid=None, dmm_nbr=None):
+                  dmm: DMM, dmm_vars, dmm_grid=None, dmm_nbr=None,
+                  donate: bool = False):
     """ItpNet round-trip reconstruction pretraining step
     (reference: training_itp, train_helper_2d.py:9-62): interpolate data
     uniform -> moved mesh -> back (+ res_cut), MSE against the original."""
@@ -171,7 +185,7 @@ def make_itp_step(pipe: GraphPipeline, optimizer, itp: ItpNet,
         u_u, _ = pipe._node_fields(data, labels)
         return jnp.mean((u_rec - u_u) ** 2)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, u_traj, steps):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, u_traj, steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -183,7 +197,8 @@ def make_itp_step(pipe: GraphPipeline, optimizer, itp: ItpNet,
     return step
 
 
-def make_cnn_step(pipe: GraphPipeline, model, optimizer, train: bool = True):
+def make_cnn_step(pipe: GraphPipeline, model, optimizer, train: bool = True,
+                  donate: bool = False):
     """BaseCNN step (reference: train_helper_2d.py:122-124 else-branch)."""
 
     def loss_fn(params, u_traj, steps):
@@ -197,7 +212,7 @@ def make_cnn_step(pipe: GraphPipeline, model, optimizer, train: bool = True):
             return loss_fn(state.params, u_traj, steps)
         return eval_step
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, u_traj, steps):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, u_traj, steps)
         updates, opt_state = optimizer.update(grads, state.opt_state,

@@ -199,6 +199,55 @@ def test_cnn_step(tiny_setup):
     assert losses[-1] < losses[0]
 
 
+def test_residual_head_shifts_prediction(tiny_setup):
+    """residual_head=True must equal the plain head's loss computed against
+    labels shifted by -u_last (pred + u_last vs y  <=>  pred vs y - u_last)."""
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    state = T.TrainState(params={"model": v["params"]},
+                         batch_stats={"model": v["batch_stats"]},
+                         opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_plain = T.make_gnn_step(pipe, model, None, train=False)
+    eval_res = T.make_gnn_step(pipe, model, None, train=False,
+                               residual_head=True)
+    steps = jnp.asarray([3, 7])
+    batch = jnp.asarray(u[:2])
+    assert float(eval_res(state, batch, steps)) != \
+        float(eval_plain(state, batch, steps))
+    # identical data (frame 3), labels c vs 0: residual head on the
+    # constant trajectory (y - u_last = 0) == plain head on zero labels
+    const = jnp.broadcast_to(batch[:, 3:4], batch.shape)
+    mixed = const.at[:, 4:5].set(0.0)
+    l_plain_zero = float(eval_plain(state, mixed, jnp.asarray([4, 4])))
+    l_res_const = float(eval_res(state, const, jnp.asarray([4, 4])))
+    np.testing.assert_allclose(l_res_const, l_plain_zero, rtol=1e-5)
+
+
+def test_donated_train_step_runs(tiny_setup):
+    """donate=True steps update in place; the returned state keeps working."""
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"]}
+    opt = T.make_optimizer(1e-3)
+    state = T.TrainState(params=params, batch_stats={"model": v["batch_stats"]},
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    step_fn = T.make_gnn_step(pipe, model, opt, train=True, donate=True)
+    steps = jnp.asarray([3, 5])
+    for _ in range(3):
+        state, loss = step_fn(state, jnp.asarray(u[:2]), steps)
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 3
+
+
 def test_rollout_runs_and_metric(tiny_setup):
     from mmpde_tpu.eval.rollout import make_rollout, evaluate_rollout
     pde, pipe, u = tiny_setup
