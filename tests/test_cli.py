@@ -1,30 +1,85 @@
-"""CLI smoke tests (tiny configs, subprocess — the real user surface)."""
+"""CLI smoke tests (subprocess — the real user surface).
+
+The default suite runs TINY configs against a pre-generated miniature
+dataset (24x24, 9 frames) so `pytest -q` exercises the full
+dmm.py -> mmpde.py chain end-to-end on CPU.  The slower reference-shaped
+variants (full 192^2 generation, larger batches) stay opt-in behind
+MMPDE_RUN_CLI_TESTS=1.
+"""
 
 import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# ~9 min of subprocess compiles; the same flows are covered by in-process
-# integration tests.  Opt in with MMPDE_RUN_CLI_TESTS=1.
-pytestmark = pytest.mark.skipif(
+slow = pytest.mark.skipif(
     not os.environ.get("MMPDE_RUN_CLI_TESTS"),
     reason="slow CLI subprocess tests; set MMPDE_RUN_CLI_TESTS=1")
 
 
-def _run(args, cwd):
+def _run(args, cwd, timeout=900):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
-                          capture_output=True, text=True, timeout=900)
+                          capture_output=True, text=True, timeout=timeout)
 
 
+@pytest.fixture(scope="session")
+def tiny_data_root(tmp_path_factory):
+    """Miniature Burgers dataset the CLIs pick up instead of generating the
+    full 192^2 set (ensure_burgers keeps a cached file whose trajectory
+    count covers the request)."""
+    from mmpde_tpu.data.generate import generate_burgers
+
+    root = tmp_path_factory.mktemp("cli_data")
+    arr = generate_burgers(n_traj=6, nt=9, s=24, sub_steps=10, seed=0,
+                           batch=6)
+    np.save(root / "burgers_192.npy", arr)
+    return str(root)
+
+
+def test_mmpde_plain_gnn_cli_tiny(tiny_data_root, tmp_path):
+    r = _run([os.path.join(REPO, "mmpde.py"),
+              "--moving_mesh", "False", "--base_resolution", "9,12,12",
+              "--num_epochs", "1", "--inner_loops", "1", "--batch_size", "3",
+              "--n_traj", "6", "--neighbors", "4",
+              "--data_root", tiny_data_root], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Mean Timestep Test Error" in r.stdout
+
+
+def test_dmm_cli_then_mmpde_full_tiny(tiny_data_root, tmp_path):
+    """The full user chain: train a DMM, then train MM-PDE against it."""
+    r = _run([os.path.join(REPO, "dmm.py"),
+              "--epochs_adam", "1", "--epochs_rf", "1",
+              "--train_sample_grid", "1", "--batch_size_x_adam", "8",
+              "--batch_size_u_adam", "4", "--batch_size_x_rf", "8",
+              "--batch_size_u_rf", "4", "--max_iter", "10",
+              "--sub_u", "8", "--n_traj", "6", "--eval_every", "0",
+              "--plot", "False", "--data_root", tiny_data_root,
+              "--checkpoint", str(tmp_path / "burgers_checkpoint")],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(str(tmp_path / "burgers_checkpoint"))
+
+    r2 = _run([os.path.join(REPO, "mmpde.py"),
+               "--base_resolution", "9,12,12", "--num_epochs", "1",
+               "--inner_loops", "1", "--batch_size", "3", "--n_traj", "6",
+               "--neighbors", "4", "--residual_head", "True",
+               "--dmm_checkpoint", str(tmp_path / "burgers_checkpoint"),
+               "--data_root", tiny_data_root], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Mean Timestep Test Error" in r2.stdout
+
+
+@slow
 def test_mmpde_plain_gnn_cli(tmp_path):
-    r = _run(["mmpde.py".replace("mmpde.py", os.path.join(REPO, "mmpde.py")),
+    r = _run([os.path.join(REPO, "mmpde.py"),
               "--moving_mesh", "False", "--base_resolution", "9,12,12",
               "--num_epochs", "1", "--inner_loops", "1", "--batch_size", "3",
               "--n_traj", "6", "--neighbors", "4",
@@ -33,6 +88,7 @@ def test_mmpde_plain_gnn_cli(tmp_path):
     assert "Mean Timestep Test Error" in r.stdout
 
 
+@slow
 def test_dmm_cli_then_mmpde_full(tmp_path):
     r = _run([os.path.join(REPO, "dmm.py"),
               "--epochs_adam", "1", "--epochs_rf", "0",
