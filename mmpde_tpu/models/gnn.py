@@ -82,18 +82,32 @@ class GNNLayer(nn.Module):
         if edge_dtype is not None:
             a_node = a_node.astype(edge_dtype)
             s_node = s_node.astype(edge_dtype)
-        m = act(a_node[:, :, None, :] + gather_nodes(s_node, nbr))
-        m = act(nn.Dense(self.hidden, name="message_net_2")(m))
-        if edge_dtype is not None:
-            m = m.astype(jnp.float32)
-        if mask is None:
-            m = jnp.mean(m, axis=2)
+        dense2 = nn.Dense(self.hidden, name="message_net_2")
+        # MMPDE_PALLAS_MP=1: fused Pallas edge MLP (relu -> matmul -> relu
+        # -> k-mean in one VMEM-resident kernel; see ops/pallas_edge.py).
+        # kNN graphs with the relu activation only; identical math.
+        use_pallas = (mask is None and act is nn.relu
+                      and os.environ.get("MMPDE_PALLAS_MP") == "1")
+        if use_pallas:
+            from mmpde_tpu.ops.pallas_edge import edge_mlp
+            # materialise message_net_2's kernel/bias through the module so
+            # the parameter tree is unchanged
+            b2 = dense2(jnp.zeros((1, self.hidden), a_node.dtype))[0]
+            w2 = dense2(jnp.eye(self.hidden, dtype=a_node.dtype)) - b2[None]
+            m = edge_mlp(a_node, gather_nodes(s_node, nbr), w2, b2)
         else:
-            if mask.ndim == 2:  # shared [N, k] mask -> broadcast over batch
-                mask = mask[None]
-            w = mask[..., None].astype(m.dtype)
-            m = jnp.sum(m * w, axis=2) / jnp.maximum(
-                jnp.sum(w, axis=2), 1.0)
+            m = act(a_node[:, :, None, :] + gather_nodes(s_node, nbr))
+            m = act(dense2(m))
+            if edge_dtype is not None:
+                m = m.astype(jnp.float32)
+            if mask is None:
+                m = jnp.mean(m, axis=2)
+            else:
+                if mask.ndim == 2:  # shared [N, k] mask -> broadcast
+                    mask = mask[None]
+                w = mask[..., None].astype(m.dtype)
+                m = jnp.sum(m * w, axis=2) / jnp.maximum(
+                    jnp.sum(w, axis=2), 1.0)
 
         upd_in = jnp.concatenate([h, m, variables], axis=-1)
         upd = act(nn.Dense(self.hidden, name="update_net_1")(upd_in))

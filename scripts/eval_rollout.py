@@ -94,7 +94,9 @@ def main():
                        batch_stats=state_raw["batch_stats"],
                        opt_state=None, step=jnp.zeros((), jnp.int32))
     rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
-                              dmm_grid, dmm_nbr)
+                              dmm_grid, dmm_nbr,
+                              residual_head=bool(
+                                  ckpt_args.get("residual_head", False)))
     batch = min(args.batch, len(u_test))
     rels = []
     for i in range(0, len(u_test) - batch + 1, batch):

@@ -68,8 +68,10 @@ def test_unroll_shrink_limits_steps(dataset):
         for _ in range(10):
             _, _, steps = loader.next()
             seen.extend(steps.tolist())
-        # nt=9, tw=1, shrink=6 => step_hi = 9 - 1 - 6 = 2 => steps in {1}
-        assert max(seen) <= 1, seen
+        # nt=9, tw=1, shrink=6 => last valid start = 9 - 1 - 6 = 2,
+        # inclusive (matches train.random_start_steps) => steps in {1, 2}
+        assert max(seen) <= 2, seen
+        assert 2 in seen, "last valid start step never sampled"
     finally:
         loader.close()
 
