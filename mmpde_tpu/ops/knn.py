@@ -122,6 +122,33 @@ def knn_query_uniform_grid(n_side: int, query: jnp.ndarray, k: int,
     return jnp.take_along_axis(flat, sel, axis=1).astype(jnp.int32)
 
 
+def knn_via_candidates(points: jnp.ndarray, query: jnp.ndarray,
+                       cand: jnp.ndarray, k: int,
+                       exclude_idx: jnp.ndarray | None = None) -> jnp.ndarray:
+    """kNN restricted to a static per-query candidate set.
+
+    points [N, 2], query [Q, 2], cand [Q, C] (global point indices; a
+    precomputed superset guaranteed/validated to contain the true k nearest)
+    -> int32 [Q, k] global indices.
+
+    Replaces the O(Q*N) distance pass with O(Q*C): for a moving mesh that is
+    a smooth deformation of a static layout, the moved kNN of a node stays
+    inside its static C-neighborhood (both endpoints move together), so
+    ``cand = knn of the STATIC layout`` with C ~ 4-6x k is a valid superset
+    — all static-shape gathers, no sorting or bucketing.  Validated against
+    the dense search in tests (synthetic smooth deformations + trained DMM
+    meshes).  ``exclude_idx`` [Q] masks one global index per query (kNN-graph
+    loop=False semantics).
+    """
+    cpts = points[cand]                                    # [Q, C, 2]
+    diff = cpts - query[:, None, :]
+    d = jnp.sum(diff * diff, axis=-1)                      # [Q, C]
+    if exclude_idx is not None:
+        d = jnp.where(cand == exclude_idx[:, None], jnp.inf, d)
+    _, sel = jax.lax.top_k(-d, k)                          # exact: C is small
+    return jnp.take_along_axis(cand, sel, axis=1).astype(jnp.int32)
+
+
 def radius_neighbors(points: jnp.ndarray, radius, max_k: int):
     """Radius graph padded to fixed degree: ([N, max_k] idx, [N, max_k] mask).
 

@@ -85,6 +85,31 @@ class GraphPipeline:
             raise ValueError(f"unknown connect_edge {connect_edge!r}")
 
         self.times = jnp.linspace(pde.tmin, pde.tmax, pde.grid_size[0])
+        # static candidate tables for locality-restricted kNN (lazy; keyed
+        # by candidate count) — see ops.knn_via_candidates
+        self._cand_cache: dict = {}
+
+    # ---------------- locality-restricted kNN ----------------
+
+    def _local_cand(self, c: int) -> jnp.ndarray:
+        """[N, c] static table: each node's c nearest nodes in the ORIGINAL
+        layout (self included, at rank 0).  Superset for moved-mesh kNN."""
+        c = min(c, self.n_nodes)
+        if c not in self._cand_cache:
+            # first use may be inside a jit trace — force eager evaluation
+            # (inputs are concrete) so a tracer is never cached
+            with jax.ensure_compile_time_eval():
+                tbl = ops.knn_query(self.grid, self.grid, c)
+            self._cand_cache[c] = jax.block_until_ready(tbl)
+        return self._cand_cache[c]
+
+    @staticmethod
+    def _local_knn_cand() -> int:
+        """0 = disabled; else the candidate count (MMPDE_LOCAL_KNN=1 with
+        optional MMPDE_LOCAL_KNN_CAND, default 192)."""
+        if os.environ.get("MMPDE_LOCAL_KNN", "0") != "1":
+            return 0
+        return int(os.environ.get("MMPDE_LOCAL_KNN_CAND", "192"))
 
     # ---------------- data windows ----------------
 
@@ -151,7 +176,8 @@ class GraphPipeline:
     # ---------------- learned kNN interpolation ----------------
 
     def itp_interpolate(self, itp: ItpNet, itp_vars, values, src_pts,
-                        query_pts, mode: str, uniform_src: bool = False):
+                        query_pts, mode: str, uniform_src: bool = False,
+                        aligned: bool = False):
         """Move per-node values between meshes with learned kNN weights.
 
         values [B, N_src, C], src_pts [B, N_src, 2], query_pts [B, Q, 2]
@@ -161,6 +187,10 @@ class GraphPipeline:
         uniform_src: sources are the static uniform grid — with
         MMPDE_GRID_KNN=1 the O(Q*window^2) analytic window search replaces
         the O(Q*N) distance pass (opt-in fast path).
+        aligned: src and query are images of the SAME node set (one of them
+        the original layout, the other its moved mesh) — with
+        MMPDE_LOCAL_KNN=1 the search is restricted to each node's static
+        C-neighborhood (O(Q*C), recall-validated in tests).
         """
         k = self.n_itp
 
@@ -172,10 +202,19 @@ class GraphPipeline:
                       and float(self.pde.Lx) == 1.0
                       and float(self.pde.Ly) == 1.0
                       and os.environ.get("MMPDE_GRID_KNN", "0") == "1")
+        c_cand = self._local_knn_cand()
         if use_window:
             n_side = self.pde.grid_size[1]
             nbr = jax.vmap(lambda q: knn_query_uniform_grid(
                 n_side, q, k))(query_pts)                       # [B, Q, k]
+        elif (aligned and c_cand and
+              query_pts.shape[1] == self.n_nodes and
+              src_pts.shape[1] == self.n_nodes):
+            # one-sided moves need headroom for the displacement itself on
+            # top of density contrast: use 2x the two-sided candidate count
+            cand = self._local_cand(2 * c_cand)
+            nbr = jax.vmap(lambda src, q: ops.knn_via_candidates(
+                src, q, cand, k))(src_pts, query_pts)           # [B, Q, k]
         else:
             nbr = jax.vmap(lambda src, q: ops.knn_query(src, q, k))(
                 src_pts, query_pts)                             # [B, Q, k]
@@ -203,12 +242,22 @@ class GraphPipeline:
         # data_creator_2d.py:206-209)
         uy = self.itp_interpolate(itp, itp_vars,
                                   jnp.concatenate([u, y], axis=-1), src,
-                                  mesh, "1", uniform_src=True)
+                                  mesh, "1", uniform_src=True, aligned=True)
         u_m, y_m = uy[..., :self.tw], uy[..., self.tw:]
+        c_cand = self._local_knn_cand()
         if self.e == "radius":
             nbr, nbr_mask = jax.vmap(
                 lambda p: ops.radius_neighbors(p, self.radius,
                                                max_k=self.max_radius_k))(mesh)
+        elif c_cand:
+            # both endpoints move with the mesh, so node i's moved kNN stays
+            # inside its static C-neighborhood (C bounded by the mesh's
+            # density contrast, not N) — O(N*C) instead of O(N^2)
+            cand = self._local_cand(c_cand)
+            self_idx = jnp.arange(self.n_nodes, dtype=jnp.int32)
+            nbr = jax.vmap(lambda p: ops.knn_via_candidates(
+                p, p, cand, self.n, exclude_idx=self_idx))(mesh)
+            nbr_mask = None
         else:
             nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
             nbr_mask = None
@@ -223,7 +272,8 @@ class GraphPipeline:
         """
         b = pred.shape[0]
         query = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
-        pred_grid = self.itp_interpolate(itp, itp_vars, pred, mesh, query, "2")
+        pred_grid = self.itp_interpolate(itp, itp_vars, pred, mesh, query,
+                                         "2", aligned=True)
         if self.is_grid:
             nx, ny = self.pde.ori_grid_size[-2], self.pde.ori_grid_size[-1]
             res = itp.apply(itp_vars, None, None, "res_cut",

@@ -14,14 +14,17 @@ import os
 def enable_fast_paths():
     """Default-on validated fast paths (opt out with =0):
 
-    MMPDE_BF16      bfloat16 GNN edge-tensor compute (f32 accumulation)
-    MMPDE_GRID_KNN  analytic window kNN for uniform-grid queries
+    MMPDE_BF16       bfloat16 GNN edge-tensor compute (f32 accumulation)
+    MMPDE_GRID_KNN   analytic window kNN for uniform-grid queries
+    MMPDE_LOCAL_KNN  locality-restricted kNN for moved-mesh queries
+                     (exact up to equidistant ties; DIVERGENCES.md §20)
 
-    Together: 4.81 -> 5.17 steps/s on the flagship benchmark (RESULTS.md),
-    with numerics covered by tests/test_models.py and tests/test_ops.py.
+    Numerics covered by tests/test_models.py, tests/test_ops.py and
+    tests/test_local_knn.py; throughput history in RESULTS.md.
     """
     os.environ.setdefault("MMPDE_BF16", "1")
     os.environ.setdefault("MMPDE_GRID_KNN", "1")
+    os.environ.setdefault("MMPDE_LOCAL_KNN", "1")
 
 
 def setup_compilation_cache(cache_dir: str | None = None):
