@@ -191,6 +191,25 @@ def main(args):
                                   mesh=mesh, grid=grid, nbr=nbr)
 
     ckpt_path = args.checkpoint or f'{args.experiment}_checkpoint'
+
+    # per-epoch checkpoints via the native async writer (csrc/writer.cpp);
+    # MMPDE_ASYNC_CKPT=0 or a build failure falls back to synchronous saves
+    async_writer = None
+    if os.environ.get('MMPDE_ASYNC_CKPT', '1') == '1':
+        try:
+            from mmpde_tpu.utils.native_writer import AsyncCheckpointWriter
+            async_writer = AsyncCheckpointWriter(ckpt_path)
+        except Exception as e:
+            print(f'async checkpoint writer unavailable ({e}); '
+                  'using synchronous saves')
+
+    def _save_ckpt(state, config, final=False):
+        if async_writer is not None:
+            async_writer.save(state, config=config)
+            if final:
+                async_writer.close()
+        else:
+            save_checkpoint(ckpt_path, state, config=config)
     logger = MetricLogger(os.path.join(
         'logs', f'dmm_{args.experiment}_{datetime.now().strftime("%m-%d-%H-%M-%S")}'))
     logs_txt = [str(args)]
@@ -237,11 +256,10 @@ def main(args):
             logger.log(epoch, train_std=tr[1], train_minmax=tr[2],
                        test_std=te[1], test_minmax=te[2])
 
-        save_checkpoint(ckpt_path, {"params": params,
-                                    "batch_stats": extra_vars.get(
-                                        "batch_stats", {})},
-                        config={"arch": arch, "args": vars(args),
-                                "test_equ_losses": test_equ_losses})
+        _save_ckpt({"params": params,
+                    "batch_stats": extra_vars.get("batch_stats", {})},
+                   config={"arch": arch, "args": vars(args),
+                           "test_equ_losses": test_equ_losses})
 
     # ---- L-BFGS phase (default epochs_lbfgs=0) ----
     if args.epochs_lbfgs > 0:
@@ -267,11 +285,10 @@ def main(args):
             print(f'rf loss: {rf_l:.6f}')
             logs_txt.append(f'rf epoch {i}: loss {rf_l:.6f}')
 
-    save_checkpoint(ckpt_path, {"params": params,
-                                "batch_stats": extra_vars.get("batch_stats",
-                                                              {})},
-                    config={"arch": arch, "args": vars(args),
-                            "test_equ_losses": test_equ_losses})
+    _save_ckpt({"params": params,
+                "batch_stats": extra_vars.get("batch_stats", {})},
+               config={"arch": arch, "args": vars(args),
+                       "test_equ_losses": test_equ_losses}, final=True)
     print(ckpt_path)
 
     # ---- mesh plots (mesh/dmm.py:97-122) ----
