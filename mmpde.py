@@ -83,6 +83,13 @@ def get_args(argv=None):
                              'directly (documented divergence; the '
                              'reference head omits the residual, which '
                              'hurts rollout stability)')
+    parser.add_argument('--pushforward', type=eval, default=False,
+                        help='execute real pushforward unrolling: when the '
+                             'drawn unrolling count is > 0, feed the model '
+                             'its OWN no-grad prediction as input (the '
+                             'original MP-PDE trick; the reference only '
+                             'shrinks the sampling range). Trains rollout '
+                             'stability. Implies the python loader.')
     parser.add_argument('--dp', type=int, default=1,
                         help='data-parallel devices: shard the batch across '
                              'a dp-way jax mesh (params replicated; XLA '
@@ -252,13 +259,14 @@ def main(args):
             dmm_vars = replicate(dp_mesh, dmm_vars)
 
     use_native = bool(args.native_loader) and args.experiment == 'burgers' \
-        and args.model == 'GNN'
+        and args.model == 'GNN' and not args.pushforward
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
                                   train=True, window_input=use_native,
                                   donate=True,
-                                  residual_head=args.residual_head)
+                                  residual_head=args.residual_head,
+                                  pushforward=args.pushforward)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
                                   train=False,
@@ -303,6 +311,19 @@ def main(args):
         'logs', f'{args.experiment}_{args.model}_{timestring}'))
     print(save_path)
 
+    # per-epoch checkpoints go through the native async writer (latest-wins
+    # double buffer + atomic rename, csrc/writer.cpp) so the epoch loop
+    # never blocks on storage; MMPDE_ASYNC_CKPT=0 opts out, and any build
+    # failure falls back to the synchronous path
+    async_writer = None
+    if os.environ.get('MMPDE_ASYNC_CKPT', '1') == '1':
+        try:
+            from mmpde_tpu.utils.native_writer import AsyncCheckpointWriter
+            async_writer = AsyncCheckpointWriter(save_path)
+        except Exception as e:
+            print(f'async checkpoint writer unavailable ({e}); '
+                  'using synchronous saves')
+
     itp_step = None
     if args.moving_mesh and args.model == 'GNN':
         itp_step = T.make_itp_step(pipe, optimizer, itp, dmm, dmm_vars,
@@ -336,7 +357,8 @@ def main(args):
         else:
             state, train_loss = T.train_epoch(rng, pipe, step_fn, state,
                                               u_train, args.batch_size,
-                                              max_unroll, n_inner=n_inner)
+                                              max_unroll, n_inner=n_inner,
+                                              pushforward=args.pushforward)
         print(f'Training Loss: {train_loss}')
         print('Testing:')
         test_loss = T.test_timestep_losses(pipe, eval_fn, state, u_test,
@@ -345,13 +367,20 @@ def main(args):
         test_losses.append(test_loss)
         logger.log(epoch, train_loss=train_loss, test_loss=test_loss)
 
-        save_checkpoint(save_path, {
+        ckpt_state = {
             "params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
-        }, config={"args": vars(args), "epoch": epoch,
-                   "test_losses": test_losses})
+        }
+        ckpt_config = {"args": vars(args), "epoch": epoch,
+                       "test_losses": test_losses}
+        if async_writer is not None:
+            async_writer.save(ckpt_state, config=ckpt_config)
+        else:
+            save_checkpoint(save_path, ckpt_state, config=ckpt_config)
         print(f'Saved model at {save_path}\n')
 
+    if async_writer is not None:
+        async_writer.close()   # flush the last snapshot to disk
     print(f'Test loss: {min(test_losses) if test_losses else float("nan")}')
     logger.close()
     return test_losses

@@ -78,7 +78,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   dmm: Optional[DMM] = None, dmm_vars=None,
                   dmm_grid=None, dmm_nbr=None, train: bool = True,
                   window_input: bool = False, node_sharding=None,
-                  donate: bool = False, residual_head: bool = False):
+                  donate: bool = False, residual_head: bool = False,
+                  pushforward: bool = False):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
@@ -102,16 +103,29 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
     u_last + delta instead of the labels directly.  The reference head
     omits the u_last residual (gnn_2d.py:137-139), which hurts
     autoregressive rollout stability.
+
+    pushforward=True (documented divergence, DIVERGENCES.md): the train
+    step takes an extra traced scalar ``unrolled``; when it is > 0 the
+    input window is replaced by the model's OWN one-step prediction
+    (stop-gradient) and the labels shift forward by tw — the original
+    MP-PDE pushforward trick (Brandstetter et al.), which the reference
+    dropped (train_helper_2d.py:100-104 only shrinks the sampling range).
+    Trains the model on its own rollout input distribution.  Requires
+    full-trajectory inputs (window_input=False).
     """
     moving = model_b is not None
     mask = pipe.uniform_mask
+    if pushforward and window_input:
+        raise ValueError("pushforward needs full trajectories "
+                         "(window_input=False)")
 
     def _c(x):
         if node_sharding is None:
             return x
         return jax.lax.with_sharding_constraint(x, node_sharding)
 
-    def forward(params, batch_stats, data, labels, steps, is_train):
+    def _predict(params, batch_stats, data, labels, steps, is_train):
+        """Full two-branch prediction in node layout [B, N, tw]."""
         u_u, y_u, _, pos_u = pipe.uniform_graph(data, labels, steps)
         u_u, y_u, pos_u = _c(u_u), _c(y_u), _c(pos_u)
         new_stats = dict(batch_stats)
@@ -133,6 +147,11 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
         pred = pred_m + pred_u if moving else pred_u
         if residual_head:
             pred = pred + u_u[..., -1:]
+        return pred, y_u, new_stats
+
+    def forward(params, batch_stats, data, labels, steps, is_train):
+        pred, y_u, new_stats = _predict(params, batch_stats, data, labels,
+                                        steps, is_train)
         loss = jnp.mean((pred - y_u) ** 2)
         return loss, new_stats
 
@@ -152,6 +171,36 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                               steps, False)
             return loss
         return eval_step
+
+    if pushforward:
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def train_step(state: TrainState, u_traj, steps, unrolled):
+            data, labels = pipe.create_data(u_traj, steps)
+
+            def one_push(_, carry):
+                # one no-grad own-prediction step: the next window's input
+                # is what the model would actually see during rollout
+                d, s = carry
+                pred0, _, _ = _predict(state.params, state.batch_stats,
+                                       d, labels, s, False)
+                d1 = jnp.swapaxes(pred0, 1, 2).reshape(d.shape)
+                return jax.lax.stop_gradient(d1), s + pipe.tw
+
+            # dynamic trip count: unrolled == 0 -> no pushforward at all
+            data_e, steps_e = jax.lax.fori_loop(
+                0, unrolled, one_push, (data, steps))
+            _, labels_e = pipe.create_data(u_traj, steps_e)
+            (loss, new_stats), grads = jax.value_and_grad(
+                forward, has_aux=True)(state.params, state.batch_stats,
+                                       data_e, labels_e, steps_e, True)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, batch_stats=new_stats,
+                                 opt_state=opt_state,
+                                 step=state.step + 1), loss
+
+        return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, *args):
@@ -247,17 +296,28 @@ def random_start_steps(rng: np.random.Generator, pipe: GraphPipeline,
 
 
 def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
-                max_unrolling: int, n_inner: Optional[int] = None):
+                max_unrolling: int, n_inner: Optional[int] = None,
+                pushforward: bool = False):
     """One reference 'epoch': t_res passes over the loader
-    (reference: mmpde.py:94-98 + train_helper_2d.py:95-131)."""
+    (reference: mmpde.py:94-98 + train_helper_2d.py:95-131).
+
+    pushforward=True: step_fn was built with make_gnn_step(pushforward=True)
+    and takes the drawn ``unrolled`` as a traced scalar — when > 0 the step
+    executes a real own-prediction pushforward instead of only shrinking
+    the sampling range."""
     losses = []
     n_inner = pipe.t_res if n_inner is None else n_inner
     for _ in range(n_inner):
         unrolled = int(rng.integers(0, max_unrolling + 1))
         for batch in iterate_batches(rng, u_train, batch_size):
             steps = random_start_steps(rng, pipe, unrolled, len(batch))
-            state, loss = step_fn(state, jnp.asarray(batch),
-                                  jnp.asarray(steps))
+            if pushforward:
+                state, loss = step_fn(state, jnp.asarray(batch),
+                                      jnp.asarray(steps),
+                                      jnp.asarray(unrolled))
+            else:
+                state, loss = step_fn(state, jnp.asarray(batch),
+                                      jnp.asarray(steps))
             losses.append(loss)
     return state, float(jnp.mean(jnp.stack(losses)))
 

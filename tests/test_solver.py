@@ -264,3 +264,49 @@ def test_rollout_runs_and_metric(tiny_setup):
     assert np.isfinite(rel) and rel >= 0.0
     preds = rollout_fn(state, jnp.asarray(u[:2, 0:1]), 4)
     assert preds.shape == (2, 4, 1, NX, NX)
+
+
+def test_pushforward_step(tiny_setup):
+    """unrolled=0 must match the plain step exactly; unrolled>0 must execute
+    a real own-prediction pushforward (different loss, finite, trainable)."""
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=2,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    opt = T.make_optimizer(1e-3)
+
+    def fresh_state():
+        params = {"model": v["params"]}
+        stats = {"model": v["batch_stats"]}
+        return T.TrainState(params=params, batch_stats=stats,
+                            opt_state=opt.init(params),
+                            step=jnp.zeros((), jnp.int32))
+
+    plain = T.make_gnn_step(pipe, model, opt, train=True)
+    push = T.make_gnn_step(pipe, model, opt, train=True, pushforward=True)
+
+    batch = jnp.asarray(u[:4])
+    steps = jnp.asarray([3, 5, 7, 8])
+
+    _, l_plain = plain(fresh_state(), batch, steps)
+    _, l_push0 = push(fresh_state(), batch, steps, jnp.asarray(0))
+    np.testing.assert_allclose(float(l_plain), float(l_push0), rtol=1e-6)
+
+    _, l_push1 = push(fresh_state(), batch, steps, jnp.asarray(1))
+    assert np.isfinite(float(l_push1))
+    assert abs(float(l_push1) - float(l_plain)) > 1e-9
+
+    # multi-step pushforward stays in range (steps + 2*tw <= t_res - tw)
+    _, l_push2 = push(fresh_state(), batch, jnp.asarray([2, 3, 4, 5]),
+                      jnp.asarray(2))
+    assert np.isfinite(float(l_push2))
+    assert abs(float(l_push2) - float(l_push1)) > 1e-12
+
+    # trains without blowing up under the epoch driver
+    state = fresh_state()
+    rng = np.random.default_rng(0)
+    state, loss = T.train_epoch(rng, pipe, push, state, u[:4], 4,
+                                max_unrolling=1, n_inner=3, pushforward=True)
+    assert np.isfinite(loss)
