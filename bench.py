@@ -86,6 +86,18 @@ def measure_ours(n_steps=20):
     u_traj = jnp.asarray(rng.normal(size=(BATCH, NT, NX, NX)).astype(np.float32))
     steps = jnp.asarray(rng.integers(1, NT - 1, size=BATCH))
 
+    # XLA's model-FLOP estimate for the whole fused step (fwd + bwd + opt),
+    # for an MFU estimate against the chip's peak.  Advisory only — failure
+    # (e.g. a backend without cost_analysis) must not break the bench.
+    flops = None
+    try:
+        ca = step_fn.lower(state, u_traj, steps).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     state, loss = step_fn(state, u_traj, steps)   # compile + warmup
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
@@ -93,7 +105,7 @@ def measure_ours(n_steps=20):
         state, loss = step_fn(state, u_traj, steps)
     jax.block_until_ready(loss)
     sec = (time.perf_counter() - t0) / n_steps
-    return sec, float(loss)
+    return sec, float(loss), flops
 
 
 def measure_baseline():
@@ -108,16 +120,28 @@ def measure_baseline():
     return sec
 
 
+# TPU v5e peak: 197 TFLOP/s (bf16 MXU).  The step mixes f32 and bf16
+# matmuls, so MFU against the bf16 peak is a lower bound on hardware use.
+V5E_PEAK_FLOPS = 197e12
+
+
 def main():
-    ours_sec, loss = measure_ours()
+    ours_sec, loss, flops = measure_ours()
     base_sec = measure_baseline()
     value = 1.0 / ours_sec
-    print(json.dumps({
+    out = {
         "metric": "mmpde_burgers48_full_train_steps_per_sec",
         "value": round(value, 3),
         "unit": "steps/s",
         "vs_baseline": round(base_sec / ours_sec, 1),
-    }))
+    }
+    if flops:
+        out["ms_per_step"] = round(ours_sec * 1e3, 1)
+        out["model_tflops_per_step"] = round(flops / 1e12, 4)
+        out["achieved_tflops_per_sec"] = round(flops / ours_sec / 1e12, 2)
+        out["mfu_pct_vs_bf16_peak"] = round(
+            100.0 * flops / ours_sec / V5E_PEAK_FLOPS, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
