@@ -90,6 +90,12 @@ def get_args(argv=None):
                              'original MP-PDE trick; the reference only '
                              'shrinks the sampling range). Trains rollout '
                              'stability. Implies the python loader.')
+    parser.add_argument('--scan_epoch', type=eval, default=True,
+                        help='device-resident epoch: keep the train set on '
+                             'device and run each epoch as ONE lax.scan '
+                             'XLA execution instead of one dispatch per '
+                             'batch (extension; falls back to the per-batch '
+                             'loop with --native_loader or --dp > 1).')
     parser.add_argument('--dp', type=int, default=1,
                         help='data-parallel devices: shard the batch across '
                              'a dp-way jax mesh (params replicated; XLA '
@@ -260,11 +266,13 @@ def main(args):
 
     use_native = bool(args.native_loader) and args.experiment == 'burgers' \
         and args.model == 'GNN' and not args.pushforward
+    # device-resident scan epochs: donation moves to the epoch driver
+    use_scan = bool(args.scan_epoch) and not use_native and args.dp <= 1
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
                                   train=True, window_input=use_native,
-                                  donate=True,
+                                  donate=not use_scan,
                                   residual_head=args.residual_head,
                                   pushforward=args.pushforward)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
@@ -273,8 +281,14 @@ def main(args):
                                   residual_head=args.residual_head)
     else:
         step_fn = T.make_cnn_step(pipe, model, optimizer, train=True,
-                                  donate=True)
+                                  donate=not use_scan)
         eval_fn = T.make_cnn_step(pipe, model, None, train=False)
+
+    epoch_fn = eval_all = None
+    if use_scan:
+        epoch_fn = T.make_scan_epoch(step_fn, u_train,
+                                     pushforward=args.pushforward)
+        eval_all = T.make_scan_eval(eval_fn, u_test)
 
     if dp_mesh is not None:
         from mmpde_tpu.parallel import shard_batch
@@ -324,12 +338,14 @@ def main(args):
             print(f'async checkpoint writer unavailable ({e}); '
                   'using synchronous saves')
 
-    itp_step = None
+    itp_step = itp_epoch = None
     if args.moving_mesh and args.model == 'GNN':
         itp_step = T.make_itp_step(pipe, optimizer, itp, dmm, dmm_vars,
-                                   dmm_grid, dmm_nbr, donate=True)
+                                   dmm_grid, dmm_nbr, donate=not use_scan)
         if dp_mesh is not None:
             itp_step = _dp_wrap(itp_step)
+        if use_scan:
+            itp_epoch = T.make_scan_epoch(itp_step, u_train)
 
     n_inner = args.inner_loops
     test_losses = []
@@ -342,10 +358,16 @@ def main(args):
         # epoch-0 ItpNet reconstruction pretraining (mmpde.py:87-92)
         if itp_step is not None and epoch == 0:
             for i in range(n_inner or pipe.t_res):
-                for batch in T.iterate_batches(rng, u_train, args.batch_size):
-                    steps = T.random_start_steps(rng, pipe, 0, len(batch))
-                    state, l_itp = itp_step(state, jnp.asarray(batch),
-                                            jnp.asarray(steps))
+                if itp_epoch is not None:
+                    state, l_itp = T.train_epoch_scan(
+                        rng, pipe, itp_epoch, state, len(u_train),
+                        args.batch_size, 0, n_inner=1)
+                else:
+                    for batch in T.iterate_batches(rng, u_train,
+                                                   args.batch_size):
+                        steps = T.random_start_steps(rng, pipe, 0, len(batch))
+                        state, l_itp = itp_step(state, jnp.asarray(batch),
+                                                jnp.asarray(steps))
                 if i % args.print_interval == 0:
                     print(f'Training ItpNet Loss (progress: '
                           f'{i / (n_inner or pipe.t_res):.2f}): {float(l_itp)}')
@@ -354,6 +376,10 @@ def main(args):
             state, train_loss = T.train_epoch_native(
                 rng, pipe, step_fn, state, native_loader, len(u_train),
                 max_unroll, n_inner=n_inner)
+        elif epoch_fn is not None:
+            state, train_loss = T.train_epoch_scan(
+                rng, pipe, epoch_fn, state, len(u_train), args.batch_size,
+                max_unroll, n_inner=n_inner)
         else:
             state, train_loss = T.train_epoch(rng, pipe, step_fn, state,
                                               u_train, args.batch_size,
@@ -361,8 +387,13 @@ def main(args):
                                               pushforward=args.pushforward)
         print(f'Training Loss: {train_loss}')
         print('Testing:')
-        test_loss = T.test_timestep_losses(pipe, eval_fn, state, u_test,
-                                           args.batch_size)
+        if eval_all is not None:
+            test_loss = T.test_timestep_losses_scan(pipe, eval_all, state,
+                                                    len(u_test),
+                                                    args.batch_size)
+        else:
+            test_loss = T.test_timestep_losses(pipe, eval_fn, state, u_test,
+                                               args.batch_size)
         print(f'Mean Timestep Test Error: {test_loss}')
         test_losses.append(test_loss)
         logger.log(epoch, train_loss=train_loss, test_loss=test_loss)

@@ -322,6 +322,110 @@ def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
     return state, float(jnp.mean(jnp.stack(losses)))
 
 
+def make_scan_epoch(step_fn, u_all, pushforward: bool = False,
+                    donate: bool = True):
+    """Device-resident epoch driver: ONE XLA execution for a whole run of
+    training steps instead of one dispatch per batch.
+
+    The training set ``u_all`` [n_traj, nt, nx, ny] lives on device for the
+    whole run; each `lax.scan` iteration gathers its batch by trajectory
+    index and runs the fused train step.  Per step only the int32 index
+    rows cross the host boundary (precomputed for the whole epoch), so the
+    per-execute dispatch latency — the dominant cost of the per-batch loop
+    on a remote-attached TPU — is amortised over the epoch.  TPU-native
+    replacement for the reference's host-side DataLoader loop
+    (train_helper_2d.py:95-131).
+
+    ``step_fn`` is any (state, u_batch, steps[, unrolled]) -> (state, loss)
+    step (GNN / CNN / ItpNet); build it with donate=False — donation is
+    applied here, at the top-level epoch execution, where it is effective.
+    """
+    u_all = jnp.asarray(u_all)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def epoch_fn(state: TrainState, traj_idx, start_steps, unrolled):
+        def body(st, xs):
+            idx, steps, un = xs
+            u = jnp.take(u_all, idx, axis=0)
+            if pushforward:
+                st, loss = step_fn(st, u, steps, un)
+            else:
+                st, loss = step_fn(st, u, steps)
+            return st, loss
+
+        return jax.lax.scan(body, state, (traj_idx, start_steps, unrolled))
+
+    return epoch_fn
+
+
+def _epoch_schedule(rng, pipe, n_traj: int, batch_size: int,
+                    max_unrolling: int, n_inner: int):
+    """Host-side epoch schedule: per-step trajectory indices, start steps
+    and the per-inner-loop unroll draw (same sampling semantics as
+    train_epoch + iterate_batches: shuffled full batches, trailing partial
+    batch dropped)."""
+    bs = min(batch_size, n_traj)
+    nb = max(1, n_traj // bs)
+    idx, steps, unroll = [], [], []
+    for _ in range(n_inner):
+        un = int(rng.integers(0, max_unrolling + 1))
+        perm = rng.permutation(n_traj)
+        for b in range(nb):
+            idx.append(perm[b * bs:(b + 1) * bs])
+            steps.append(random_start_steps(rng, pipe, un, bs))
+            unroll.append(un)
+    return (jnp.asarray(np.stack(idx), jnp.int32),
+            jnp.asarray(np.stack(steps), jnp.int32),
+            jnp.asarray(unroll, jnp.int32))
+
+
+def train_epoch_scan(rng, pipe, epoch_fn, state, n_traj: int,
+                     batch_size: int, max_unrolling: int,
+                     n_inner: Optional[int] = None):
+    """train_epoch over a make_scan_epoch driver: one device execution for
+    the entire epoch (t_res x n_batches fused steps)."""
+    n_inner = pipe.t_res if n_inner is None else n_inner
+    traj_idx, start_steps, unrolled = _epoch_schedule(
+        rng, pipe, n_traj, batch_size, max_unrolling, n_inner)
+    state, losses = epoch_fn(state, traj_idx, start_steps, unrolled)
+    return state, float(jnp.mean(losses))
+
+
+def make_scan_eval(eval_fn, u_test):
+    """Scanned counterpart of test_timestep_losses' inner loops: evaluates
+    every (timestep, batch) pair in ONE device execution."""
+    u_test = jnp.asarray(u_test)
+
+    @jax.jit
+    def eval_all(state: TrainState, traj_idx, start_steps):
+        def body(carry, xs):
+            idx, steps = xs
+            u = jnp.take(u_test, idx, axis=0)
+            return carry, eval_fn(state, u, steps)
+
+        _, losses = jax.lax.scan(body, None, (traj_idx, start_steps))
+        return losses
+
+    return eval_all
+
+
+def test_timestep_losses_scan(pipe, eval_all, state, n_traj: int,
+                              batch_size: int):
+    """test_timestep_losses via a make_scan_eval driver (identical
+    timestep filter and batch blocks, one dispatch total)."""
+    bs = min(batch_size, n_traj)
+    nb = max(1, n_traj // bs)
+    steps_list = [s for s in range(pipe.tw, pipe.t_res - pipe.tw + 1)
+                  if s == pipe.tw or s % pipe.tw == 0]
+    idx = [np.arange(b * bs, (b + 1) * bs)
+           for _ in steps_list for b in range(nb)]
+    stp = [np.full(bs, s) for s in steps_list for _ in range(nb)]
+    losses = eval_all(state, jnp.asarray(np.stack(idx), jnp.int32),
+                      jnp.asarray(np.stack(stp), jnp.int32))
+    per_step = np.asarray(losses).reshape(len(steps_list), nb).mean(axis=1)
+    return float(per_step.mean())
+
+
 def train_epoch_native(rng, pipe, step_fn, state, loader, n_traj: int,
                        max_unrolling: int, n_inner: Optional[int] = None):
     """train_epoch over the native C++ window loader (window_input steps).
