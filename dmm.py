@@ -233,8 +233,11 @@ def main(args):
         print(_dt.now() - t0)
         print(msg)
         logs_txt.append(msg)
+        epoch_s = (_dt.now() - t0).total_seconds()
         logger.log(epoch, loss_in=terms.loss_in, loss_bound=terms.loss_bound,
-                   loss_convex=terms.loss_convex, test_equ=test_equ_loss)
+                   loss_convex=terms.loss_convex, test_equ=test_equ_loss,
+                   epoch_s=round(epoch_s, 3),
+                   steps_per_sec=round(n_inner / max(epoch_s, 1e-9), 3))
 
         if args.eval_every and (epoch % args.eval_every == 0
                                 or epoch == args.epochs_adam):

@@ -14,6 +14,7 @@ Run commands (README.md:36-54 parity):
 
 import argparse
 import os
+import time
 from datetime import datetime
 
 import numpy as np
@@ -372,6 +373,7 @@ def main(args):
                     print(f'Training ItpNet Loss (progress: '
                           f'{i / (n_inner or pipe.t_res):.2f}): {float(l_itp)}')
 
+        t_ep = time.perf_counter()
         if native_loader is not None:
             state, train_loss = T.train_epoch_native(
                 rng, pipe, step_fn, state, native_loader, len(u_train),
@@ -385,6 +387,9 @@ def main(args):
                                               u_train, args.batch_size,
                                               max_unroll, n_inner=n_inner,
                                               pushforward=args.pushforward)
+        epoch_s = time.perf_counter() - t_ep
+        bs = min(args.batch_size, len(u_train))
+        n_steps = (n_inner or pipe.t_res) * max(1, len(u_train) // bs)
         print(f'Training Loss: {train_loss}')
         print('Testing:')
         if eval_all is not None:
@@ -396,7 +401,9 @@ def main(args):
                                                args.batch_size)
         print(f'Mean Timestep Test Error: {test_loss}')
         test_losses.append(test_loss)
-        logger.log(epoch, train_loss=train_loss, test_loss=test_loss)
+        logger.log(epoch, train_loss=train_loss, test_loss=test_loss,
+                   epoch_s=round(epoch_s, 3),
+                   steps_per_sec=round(n_steps / epoch_s, 3))
 
         ckpt_state = {
             "params": state.params, "batch_stats": state.batch_stats,

@@ -77,6 +77,46 @@ def test_dmm_cli_then_mmpde_full_tiny(tiny_data_root, tmp_path):
     assert "Mean Timestep Test Error" in r2.stdout
 
 
+@pytest.fixture(scope="session")
+def tiny_cy_root(tmp_path_factory):
+    """Miniature cylinder dataset (120-node tri mesh, 16 frames)."""
+    from mmpde_tpu.data.generate import generate_cylinder
+
+    root = tmp_path_factory.mktemp("cli_cy_data")
+    arr = generate_cylinder(n_traj=6, nt=16, n_nodes=120, seed=0)
+    np.save(root / "cylinder_rot_tri.npy", arr)
+    return str(root)
+
+
+def test_dmm_cy_then_mmpde_cy_pushforward_tiny(tiny_cy_root, tmp_path):
+    """The cylinder user chain at miniature scale, including the round-2
+    stability recipe (pushforward + residual head + scan epochs) used by
+    the full-budget cy runs."""
+    r = _run([os.path.join(REPO, "dmm.py"), "--experiment", "cy",
+              "--epochs_adam", "1", "--epochs_rf", "1",
+              "--branch_layers", "2,2", "--trunk_layers", "4,8",
+              "--out_layers", "8,8,1",
+              "--train_sample_grid", "1", "--batch_size_x_adam", "8",
+              "--batch_size_u_adam", "4", "--batch_size_x_rf", "8",
+              "--batch_size_u_rf", "4", "--max_iter", "10",
+              "--sub_u", "1", "--n_traj", "6", "--eval_every", "0",
+              "--plot", "False", "--data_root", tiny_cy_root,
+              "--checkpoint", str(tmp_path / "cy_checkpoint")],
+             cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.isdir(str(tmp_path / "cy_checkpoint"))
+
+    r2 = _run([os.path.join(REPO, "mmpde.py"), "--experiment", "cy",
+               "--base_resolution", "6,120", "--num_epochs", "1",
+               "--inner_loops", "1", "--batch_size", "3", "--n_traj", "6",
+               "--neighbors", "4", "--unrolling", "1",
+               "--pushforward", "True", "--residual_head", "True",
+               "--dmm_checkpoint", str(tmp_path / "cy_checkpoint"),
+               "--data_root", tiny_cy_root], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Mean Timestep Test Error" in r2.stdout
+
+
 @slow
 def test_mmpde_plain_gnn_cli(tmp_path):
     r = _run([os.path.join(REPO, "mmpde.py"),

@@ -310,3 +310,55 @@ def test_pushforward_step(tiny_setup):
     state, loss = T.train_epoch(rng, pipe, push, state, u[:4], 4,
                                 max_unrolling=1, n_inner=3, pushforward=True)
     assert np.isfinite(loss)
+
+
+def test_cy_moving_rollout_runs():
+    """Full moving-mesh rollout on a tiny cylinder (tri) pipeline — the
+    exact wiring scripts/eval_rollout.py uses for --experiment cy: graph-
+    mode DMM mesh movement, mesh ItpNet (autoencoder res_cut), two-branch
+    forward, autoregressive scan."""
+    from mmpde_tpu.eval.rollout import make_rollout, evaluate_rollout
+    from mmpde_tpu.pdes import cy
+    from mmpde_tpu import ops
+
+    nt, n_nodes = 6, 60
+    rng = np.random.default_rng(3)
+    mesh_pts = rng.uniform(0.05, 0.95, size=(n_nodes, 2)).astype(np.float32)
+    pde = cy(ori_grid=mesh_pts, grid_size=(nt, n_nodes))
+    pipe = GraphPipeline(pde, neighbors=4, time_window=1, t_resolution=nt)
+    u = rng.normal(size=(2, nt, n_nodes)).astype(np.float32)
+
+    key = jax.random.PRNGKey(0)
+    dmm = DMM(mode="graph", branch_layer=(2, 2), trunk_layer=(2, 4, 8),
+              out_layer=(8, 8, 1), n_nodes=n_nodes)
+    dmm_grid = pipe.grid
+    dmm_nbr = ops.knn_indices(dmm_grid, 8)
+    dmm_vars = dmm.init(key, jnp.ones((2, n_nodes)),
+                        jnp.zeros((2, 3, 2)), dmm_grid, dmm_nbr)
+
+    itp = ItpNet(ori_nx=n_nodes, ori_ny=None, layers1=(16,), layers2=(16,))
+    nbq, qq = jnp.ones((1, 2, 30, 2)), jnp.ones((1, 2, 1, 2))
+    itp_params = {**itp.init(key, nbq, qq, "1")["params"],
+                  **itp.init(key, nbq, qq, "2")["params"],
+                  **itp.init(key, None, None, "res_cut",
+                             jnp.ones((1, n_nodes)))["params"]}
+
+    kw = dict(time_window=1, hidden_features=16, hidden_layer=1,
+              dt=pde.dt, tmax=pde.tmax)
+    model, model_b = MPSolver2D(**kw), MPSolver2D(**kw)
+    us = jnp.ones((2, n_nodes, 1))
+    ps = jnp.ones((2, n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(1), us, ps, pipe.uniform_nbr)
+    vb = model_b.init(jax.random.PRNGKey(2), us, ps, pipe.uniform_nbr)
+    state = T.TrainState(
+        params={"model": v["params"], "model_b": vb["params"],
+                "itp": itp_params},
+        batch_stats={"model": v["batch_stats"], "model_b": vb["batch_stats"]},
+        opt_state=None, step=jnp.zeros((), jnp.int32))
+
+    rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
+                              dmm_grid, dmm_nbr, residual_head=True)
+    rel = evaluate_rollout(pipe, rollout_fn, state, u)
+    assert np.isfinite(rel) and rel >= 0.0
+    preds = rollout_fn(state, jnp.asarray(u[:, 0:1]), 3)
+    assert preds.shape == (2, 3, 1, n_nodes)
