@@ -148,6 +148,56 @@ def test_dp_train_epoch_matches_single_device():
 
 
 @requires_8
+def test_node_sharded_train_step_matches_single_device():
+    """End-to-end node-sharded solver step (SURVEY §5 node-axis sharding):
+    the fused train step with a dp×node with_sharding_constraint on its
+    [B, N, ...] tensors — GSPMD shards the message passing along the node
+    axis and inserts the gather/psum collectives — produces the same loss
+    and updated params as the unsharded step."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from mmpde_tpu.pdes import burgers
+    from mmpde_tpu.solver.data import GraphPipeline
+    from mmpde_tpu.solver import train as T
+
+    nt, nx, batch = 7, 8, 4
+    pde = burgers(grid_size=(nt, nx, nx), tmax=5.0)
+    pipe = GraphPipeline(pde, neighbors=3, time_window=1, t_resolution=nt)
+    model = MPSolver2D(time_window=1, hidden_features=16, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"]}
+    stats = {"model": v["batch_stats"]}
+    opt = T.make_optimizer(1e-3)
+
+    def fresh_state():
+        return T.TrainState(params=params, batch_stats=stats,
+                            opt_state=opt.init(params),
+                            step=jnp.zeros((), jnp.int32))
+
+    u_traj = jax.random.normal(jax.random.PRNGKey(1), (batch, nt, nx, nx))
+    steps = jnp.asarray([1, 2, 3, 4])
+
+    step_ref = T.make_gnn_step(pipe, model, opt, train=True)
+    state1, loss1 = step_ref(fresh_state(), u_traj, steps)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "node"))
+    node_sharding = NamedSharding(mesh, P("dp", "node"))
+    step_sh = T.make_gnn_step(pipe, model, opt, train=True,
+                              node_sharding=node_sharding)
+    u_s, = shard_batch(mesh, (u_traj,))
+    state8, loss8 = step_sh(replicate(mesh, fresh_state()), u_s, steps)
+
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss8))
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state1.params),
+                     jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
+
+
+@requires_8
 def test_shard_map_gather_matches_local():
     from jax.sharding import Mesh
     from mmpde_tpu.parallel.node_parallel import (
