@@ -29,6 +29,28 @@ def _load_any(path: str) -> np.ndarray:
     raise FileNotFoundError(path)
 
 
+def _burgers_raw(data_root: str, target_res: int,
+                 generate_kwargs: dict) -> np.ndarray:
+    """Burgers raw array at >= target_res spatial resolution.
+
+    Prefers the full 192^2 dataset; falls back to a committed subsampled
+    cache (data/burgers_<s>.npy, written by scripts/cache_burgers_lowres.py)
+    whose resolution is a multiple of target_res — every in-repo consumer
+    trains at <= 48^2, so the 48^2 cache avoids re-paying the ~15-minute
+    CPU spectral-solver generation after an environment wipe.  Only
+    regenerates from scratch when no usable file exists.
+    """
+    full = os.path.join(data_root, "burgers_192.npy")
+    if not os.path.exists(full):
+        want = generate_kwargs.get("n_traj", 100)
+        for s in (48, 96):
+            p = os.path.join(data_root, f"burgers_{s}.npy")
+            if (s % target_res == 0 and os.path.exists(p)
+                    and np.load(p, mmap_mode="r").shape[0] >= want):
+                return np.load(p)
+    return _load_any(ensure_burgers(full, **generate_kwargs))
+
+
 def load_experiment(experiment: str, base_resolution, data_root: str = "data",
                     n_traj: Optional[int] = None,
                     generate_kwargs: Optional[dict] = None):
@@ -42,9 +64,7 @@ def load_experiment(experiment: str, base_resolution, data_root: str = "data",
         generate_kwargs.setdefault("n_traj", n_traj)
 
     if experiment == "burgers":
-        path = ensure_burgers(os.path.join(data_root, "burgers_192.npy"),
-                              **generate_kwargs)
-        raw = _load_any(path)
+        raw = _burgers_raw(data_root, base_resolution[1], generate_kwargs)
         stride = raw.shape[-1] // base_resolution[1]
         u = raw[:, :, ::stride, ::stride].astype(np.float32)
         n = u.shape[0]
@@ -84,14 +104,13 @@ def load_dmm_training_data(experiment: str, sub_u: int = 4,
     """
     generate_kwargs = dict(generate_kwargs or {})
     if experiment == "burgers":
-        path = ensure_burgers(os.path.join(data_root, "burgers_192.npy"),
-                              **generate_kwargs)
-        raw = _load_any(path)
-        s = raw.shape[-1] // sub_u
+        s = 192 // sub_u  # target resolution (reference: mesh/dmm.py:71-78)
+        raw = _burgers_raw(data_root, s, generate_kwargs)
+        stride = raw.shape[-1] // s
         n = raw.shape[0]
         n_train = int(n * 0.8)
-        u = raw[:n_train, :, ::sub_u, ::sub_u].reshape(-1, s, s)
-        test_u = raw[n_train:, :, ::sub_u, ::sub_u].reshape(-1, s, s)
+        u = raw[:n_train, :, ::stride, ::stride].reshape(-1, s, s)
+        test_u = raw[n_train:, :, ::stride, ::stride].reshape(-1, s, s)
         return u.astype(np.float32), test_u.astype(np.float32)
 
     if experiment == "cy":

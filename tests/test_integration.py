@@ -181,3 +181,38 @@ def test_mesh_plotting_smoke(tmp_path):
                             str(tmp_path / "tri_s.png"), grid=grid, nbr=nbr,
                             time_indices=[0, 1, 2, 3, 4])
     assert os.path.getsize(p) > 0
+
+
+def test_burgers_lowres_cache_fallback(tmp_path):
+    """With burgers_192.npy absent, the loaders serve a committed low-res
+    cache (burgers_<s>.npy) whose resolution is a multiple of the target —
+    identical to subsampling the full set — instead of regenerating."""
+    from mmpde_tpu.data.loading import load_experiment, load_dmm_training_data
+
+    rng = np.random.default_rng(0)
+    full = rng.normal(size=(5, 4, 48, 48)).astype(np.float32)
+    root = tmp_path / "data"
+    root.mkdir()
+    np.save(root / "burgers_48.npy", full)
+
+    pde, u_tr, u_te = load_experiment("burgers", [4, 12, 12],
+                                      data_root=str(root), n_traj=5)
+    assert u_tr.shape == (4, 4, 12, 12) and u_te.shape == (1, 4, 12, 12)
+    np.testing.assert_array_equal(u_tr, full[:4, :, ::4, ::4])
+
+    u, test_u = load_dmm_training_data("burgers", sub_u=4,
+                                       data_root=str(root),
+                                       generate_kwargs={"n_traj": 5})
+    assert u.shape == (16, 48, 48) and test_u.shape == (4, 48, 48)
+    np.testing.assert_array_equal(u, full[:4].reshape(-1, 48, 48))
+
+    # a cache that is too small for the request must NOT be served: the
+    # loader falls through to generation (tiny shapes keep this fast)
+    from mmpde_tpu.data.loading import _burgers_raw
+    small = tmp_path / "small"
+    small.mkdir()
+    np.save(small / "burgers_48.npy", full[:2])
+    raw = _burgers_raw(str(small), 4, {"n_traj": 3, "nt": 2, "s": 8,
+                                       "sub_steps": 2})
+    assert raw.shape[0] == 3 and raw.shape[-1] == 8  # freshly generated
+    assert os.path.exists(small / "burgers_192.npy")
