@@ -6,7 +6,8 @@ tw=1, moving mesh on): per step this covers window slicing, frozen-DMM mesh
 movement (autodiff through the trunk), device kNN interpolation (ItpNet),
 dynamic kNN graph construction, both GNN branches, the residual-cut
 correction, loss, backward, and the AdamW update — all one jitted XLA
-program.
+program.  That is everything the reference does per batch in
+train_helper_2d.py:95-131 + data_creator_2d.py:256-260.
 
 Baseline: the same step re-implemented the reference's way in pure torch on
 CPU (bench_baseline_torch.py) — sklearn kNN round-trips and per-step edge
@@ -14,12 +15,29 @@ rebuilds included, torch_geometric dispatch overhead excluded (conservative).
 A fresh measurement is taken unless a cached one exists in
 .bench_baseline.json.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": steps/s, "unit": "steps/s", "vs_baseline": x}
+Driver-proofing (the round-2 bench timed out compiling the scan-epoch
+program cold, leaving the round with no recorded number):
+  1. The per-step path is measured FIRST — its fused-step program is the
+     smallest thing that still covers the full metric definition.
+  2. The device-resident scan-epoch path (the default training path, lower
+     dispatch overhead) is then attempted only in a time-bounded SUBPROCESS
+     (``python bench.py --scan``); if it finishes within the remaining
+     budget its (usually slightly better) number wins, otherwise the
+     per-step result is printed.  A hung compile can no longer eat the
+     whole bench.
+  3. If a committed seed cache ``.jax_cache_bench/`` exists, its entries
+     are copied into the active persistent compile cache before anything
+     compiles, so a wiped VM still warm-starts.
+Budget: MMPDE_BENCH_BUDGET_S (default 2400 s total wall clock).
+
+Prints ONE JSON line (last line of stdout):
+  {"metric": ..., "value": steps/s, "unit": "steps/s", "vs_baseline": x, ...}
 """
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
@@ -31,16 +49,38 @@ BATCH = 6
 K = 35
 HIDDEN = 128
 LAYERS = 6
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_baseline.json")
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+SEED_CACHE = os.path.join(REPO, ".jax_cache_bench")
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("MMPDE_BENCH_BUDGET_S", 2400))
 
 
-def measure_ours(n_steps=20):
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _seed_compile_cache():
+    """Copy committed bench cache entries into the active persistent cache
+    so a freshly-wiped VM does not pay the cold remote compile."""
+    active = os.environ.get("MMPDE_JAX_CACHE",
+                            os.path.join(REPO, ".jax_cache"))
+    if not os.path.isdir(SEED_CACHE):
+        return
+    os.makedirs(active, exist_ok=True)
+    for name in os.listdir(SEED_CACHE):
+        dst = os.path.join(active, name)
+        if not os.path.exists(dst):
+            try:
+                shutil.copy2(os.path.join(SEED_CACHE, name), dst)
+            except OSError:
+                pass
+
+
+def _build():
+    """Model/pipeline/state/step construction shared by both paths."""
     import jax
     import jax.numpy as jnp
-
-    from mmpde_tpu.utils.env import setup_compilation_cache
-    setup_compilation_cache()
 
     from mmpde_tpu.models import DMM, MPSolver2D, ItpNet
     from mmpde_tpu.pdes import burgers
@@ -81,30 +121,56 @@ def measure_ours(n_steps=20):
                          step=jnp.zeros((), jnp.int32))
     step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                               dmm, dmm_vars, train=True)
+    return T, state, step_fn
 
-    rng = np.random.default_rng(0)
-    u_traj = jnp.asarray(rng.normal(size=(BATCH, NT, NX, NX)).astype(np.float32))
-    steps = jnp.asarray(rng.integers(1, NT - 1, size=BATCH))
 
-    # XLA's model-FLOP estimate for the whole fused step (fwd + bwd + opt),
-    # for an MFU estimate against the chip's peak.  Advisory only — failure
-    # (e.g. a backend without cost_analysis) must not break the bench.
-    flops = None
+def _flops_of(lowerable, *args):
+    """XLA's model-FLOP estimate for the fused step (fwd + bwd + opt), for
+    an MFU estimate.  Advisory only — failure must not break the bench."""
     try:
-        ca = step_fn.lower(state, u_traj, steps).compile().cost_analysis()
+        ca = lowerable.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
+        return float(ca.get("flops", 0.0)) or None
     except Exception:
-        pass
+        return None
 
-    # The default training path (mmpde.py --scan_epoch, on by default) is
-    # device-resident: the train set lives on device and an epoch runs as
-    # ONE lax.scan execution, so per-execute dispatch latency is amortised.
-    # Measure exactly that: S fused steps per execution, fresh trajectory
-    # indices + start steps every call.
+
+def measure_step(n_steps=30):
+    """Per-step path: one dispatch per fused train step (round-1 bench)."""
+    import jax
+    import jax.numpy as jnp
+    _, state, step_fn = _build()
+
+    rng = np.random.default_rng(0)
+    u_traj = jnp.asarray(rng.normal(size=(BATCH, NT, NX, NX))
+                         .astype(np.float32))
+    steps_list = [jnp.asarray(rng.integers(1, NT - 1, size=BATCH))
+                  for _ in range(n_steps)]
+
+    flops = _flops_of(step_fn, state, u_traj, steps_list[0])
+    state, loss = step_fn(state, u_traj, steps_list[0])   # compile + warmup
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for st in steps_list:
+        state, loss = step_fn(state, u_traj, st)
+    jax.block_until_ready(loss)
+    sec = (time.perf_counter() - t0) / n_steps
+    return sec, flops
+
+
+def measure_scan(n_steps=64):
+    """Scan-epoch path: the default training path (mmpde.py --scan_epoch)
+    is device-resident — the train set lives on device and an epoch runs as
+    ONE lax.scan execution, amortising dispatch latency.  Measures S fused
+    steps per execution with fresh indices each call."""
+    import jax
+    import jax.numpy as jnp
+    T, state, step_fn = _build()
+
     S = 32
     n_traj = 24
+    rng = np.random.default_rng(0)
     u_all = jnp.asarray(rng.normal(size=(n_traj, NT, NX, NX))
                         .astype(np.float32))
     epoch_fn = T.make_scan_epoch(step_fn, u_all)
@@ -116,6 +182,9 @@ def measure_ours(n_steps=20):
         return (jnp.asarray(idx, jnp.int32), jnp.asarray(stp, jnp.int32),
                 jnp.zeros((S,), jnp.int32))
 
+    flops = _flops_of(epoch_fn, state, *schedule(0))
+    if flops:
+        flops /= S
     state, losses = epoch_fn(state, *schedule(0))   # compile + warmup
     jax.block_until_ready(losses)
     reps = max(1, n_steps // S) * 2
@@ -125,7 +194,7 @@ def measure_ours(n_steps=20):
         state, losses = epoch_fn(state, *sch)
     jax.block_until_ready(losses)
     sec = (time.perf_counter() - t0) / (reps * S)
-    return sec, float(losses[-1]), flops
+    return sec, flops
 
 
 def measure_baseline():
@@ -145,22 +214,65 @@ def measure_baseline():
 V5E_PEAK_FLOPS = 197e12
 
 
+def _try_scan_subprocess():
+    """Run the scan-path measurement bounded by the remaining budget."""
+    remaining = _remaining() - 60
+    if remaining < 180:
+        return None
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--scan"], timeout=remaining,
+                           capture_output=True, text=True, cwd=REPO)
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if "sec_per_step" in d:
+                    return d["sec_per_step"], d.get("flops")
+            except (json.JSONDecodeError, TypeError):
+                continue
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return None
+
+
 def main():
-    ours_sec, loss, flops = measure_ours()
+    _seed_compile_cache()
+    from mmpde_tpu.utils.env import setup_compilation_cache
+    setup_compilation_cache()
+
+    if "--scan" in sys.argv:
+        sec, flops = measure_scan()
+        print(json.dumps({"sec_per_step": sec, "flops": flops}))
+        return
+    if "--step-only" in sys.argv:
+        sec, flops = measure_step()
+        print(json.dumps({"sec_per_step": sec, "flops": flops}))
+        return
+
+    sec, flops = measure_step()
+    print(f"[bench] per-step path: {1.0 / sec:.3f} steps/s "
+          f"({_remaining():.0f}s budget left)", file=sys.stderr)
+    scan = _try_scan_subprocess()
+    path = "per-step"
+    if scan is not None and scan[0] < sec:
+        sec, flops = scan[0], (scan[1] or flops)
+        path = "scan-epoch"
+    print(f"[bench] best path: {path}", file=sys.stderr)
+
     base_sec = measure_baseline()
-    value = 1.0 / ours_sec
     out = {
         "metric": "mmpde_burgers48_full_train_steps_per_sec",
-        "value": round(value, 3),
+        "value": round(1.0 / sec, 3),
         "unit": "steps/s",
-        "vs_baseline": round(base_sec / ours_sec, 1),
+        "vs_baseline": round(base_sec / sec, 1),
+        "ms_per_step": round(sec * 1e3, 1),
+        "path": path,
     }
     if flops:
-        out["ms_per_step"] = round(ours_sec * 1e3, 1)
         out["model_tflops_per_step"] = round(flops / 1e12, 4)
-        out["achieved_tflops_per_sec"] = round(flops / ours_sec / 1e12, 2)
+        out["achieved_tflops_per_sec"] = round(flops / sec / 1e12, 2)
         out["mfu_pct_vs_bf16_peak"] = round(
-            100.0 * flops / ours_sec / V5E_PEAK_FLOPS, 2)
+            100.0 * flops / sec / V5E_PEAK_FLOPS, 2)
     print(json.dumps(out))
 
 

@@ -43,11 +43,20 @@ def _burgers_raw(data_root: str, target_res: int,
     full = os.path.join(data_root, "burgers_192.npy")
     if not os.path.exists(full):
         want = generate_kwargs.get("n_traj", 100)
+        want_nt = generate_kwargs.get("nt")  # None = caller took the default
         for s in (48, 96):
             p = os.path.join(data_root, f"burgers_{s}.npy")
-            if (s % target_res == 0 and os.path.exists(p)
-                    and np.load(p, mmap_mode="r").shape[0] >= want):
-                return np.load(p)
+            if s % target_res == 0 and os.path.exists(p):
+                # shape check from the npy header only (no mmap handle kept
+                # open); a cache whose time resolution differs from an
+                # EXPLICITLY requested nt (e.g. tests overriding nt) must
+                # not be silently served
+                with open(p, "rb") as f:
+                    version = np.lib.format.read_magic(f)
+                    shape, _, _ = np.lib.format._read_array_header(f, version)
+                if shape[0] >= want and (want_nt is None
+                                         or shape[1] == want_nt):
+                    return np.load(p)
     return _load_any(ensure_burgers(full, **generate_kwargs))
 
 

@@ -56,15 +56,18 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def rollout(state, u_init, n_steps: int):
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def rollout(state, u_init, n_steps: int, start: int = None):
+        start_idx = tw if start is None else int(start)
+
         def body(carry, step_idx):
             data = carry
             pred = one_step(state.params, state.batch_stats, data, step_idx)
             return pred, pred
 
-        # clip the time index used for the pos-t channel to the pde range
-        idxs = jnp.clip(jnp.arange(n_steps) * tw + tw, 0,
+        # time indices fed to the pos-t channel: the i-th prediction is for
+        # the window starting at start + i*tw; clip to the pde range
+        idxs = jnp.clip(jnp.arange(n_steps) * tw + start_idx, 0,
                         pipe.pde.grid_size[0] - 1)
         _, preds = jax.lax.scan(body, u_init, idxs)
         return jnp.moveaxis(preds, 0, 1)  # [B, n_steps, tw, ...]
@@ -91,7 +94,7 @@ def evaluate_rollout(pipe: GraphPipeline, rollout_fn, state, u_test,
     start = tw if start is None else start
     n_steps = (pipe.t_res - start) // tw
     u_init = u_test[:, start - tw:start]
-    preds = rollout_fn(state, jnp.asarray(u_init), n_steps)
+    preds = rollout_fn(state, jnp.asarray(u_init), n_steps, start)
     b = preds.shape[0]
     truth = jnp.stack([
         jnp.asarray(u_test[:, start + i * tw: start + (i + 1) * tw])

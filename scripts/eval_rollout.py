@@ -29,6 +29,17 @@ def main():
     p.add_argument("--batch", type=int, default=6)
     args = p.parse_args()
 
+    # fail fast with a usable message: a missing/empty checkpoint argument
+    # (e.g. from a chain script whose glob matched nothing) previously
+    # surfaced as a bare FileNotFoundError('state.msgpack')
+    if not args.checkpoint or not os.path.isdir(args.checkpoint):
+        sys.exit(f"eval_rollout: checkpoint dir {args.checkpoint!r} does not "
+                 f"exist — pass the directory mmpde.py printed as its save "
+                 f"path (models/GNN_PDE_...)")
+    if not os.path.exists(os.path.join(args.checkpoint, "state.msgpack")):
+        sys.exit(f"eval_rollout: {args.checkpoint!r} has no state.msgpack — "
+                 f"the run saved no epoch (check its log)")
+
     import jax
     import jax.numpy as jnp
 

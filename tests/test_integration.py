@@ -216,3 +216,13 @@ def test_burgers_lowres_cache_fallback(tmp_path):
                                        "sub_steps": 2})
     assert raw.shape[0] == 3 and raw.shape[-1] == 8  # freshly generated
     assert os.path.exists(small / "burgers_192.npy")
+
+    # an EXPLICIT nt that differs from the cache's time resolution must
+    # also fall through to generation (ADVICE r2: a stale cache was
+    # silently served when tests overrode nt)
+    ntdir = tmp_path / "ntmismatch"
+    ntdir.mkdir()
+    np.save(ntdir / "burgers_48.npy", full)  # nt=4 cache
+    raw = _burgers_raw(str(ntdir), 4, {"n_traj": 3, "nt": 2, "s": 8,
+                                       "sub_steps": 2})
+    assert raw.shape[1] == 2  # regenerated at the requested nt
