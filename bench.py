@@ -43,10 +43,12 @@ import time
 
 import numpy as np
 
-NX = 48
-NT = 31
+# flagship config; the MMPDE_BENCH_* overrides exist for cheap smoke tests
+# of the bench harness itself (CPU), NOT for reported numbers
+NX = int(os.environ.get("MMPDE_BENCH_NX", 48))
+NT = int(os.environ.get("MMPDE_BENCH_NT", 31))
 BATCH = 6
-K = 35
+K = int(os.environ.get("MMPDE_BENCH_K", 35))
 HIDDEN = 128
 LAYERS = 6
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -136,8 +138,9 @@ def _flops_of(lowerable, *args):
         return None
 
 
-def measure_step(n_steps=30):
+def measure_step(n_steps=None):
     """Per-step path: one dispatch per fused train step (round-1 bench)."""
+    n_steps = n_steps or int(os.environ.get("MMPDE_BENCH_STEPS", 30))
     import jax
     import jax.numpy as jnp
     _, state, step_fn = _build()

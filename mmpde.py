@@ -267,8 +267,12 @@ def main(args):
 
     use_native = bool(args.native_loader) and args.experiment == 'burgers' \
         and args.model == 'GNN' and not args.pushforward
-    # device-resident scan epochs: donation moves to the epoch driver
-    use_scan = bool(args.scan_epoch) and not use_native and args.dp <= 1
+    # device-resident scan epochs: donation moves to the epoch driver.
+    # Composes with --dp: the batch gathered inside the scan body gets a
+    # P('dp') sharding constraint, so multi-chip training keeps the
+    # one-dispatch-per-epoch path (GSPMD shards the step and inserts the
+    # gradient psum; state and u_all stay replicated).
+    use_scan = bool(args.scan_epoch) and not use_native
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
@@ -285,13 +289,20 @@ def main(args):
                                   donate=not use_scan)
         eval_fn = T.make_cnn_step(pipe, model, None, train=False)
 
+    batch_sharding = None
+    if dp_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_sharding = NamedSharding(dp_mesh, PartitionSpec('dp'))
+
     epoch_fn = eval_all = None
     if use_scan:
         epoch_fn = T.make_scan_epoch(step_fn, u_train,
-                                     pushforward=args.pushforward)
-        eval_all = T.make_scan_eval(eval_fn, u_test)
+                                     pushforward=args.pushforward,
+                                     batch_sharding=batch_sharding)
+        eval_all = T.make_scan_eval(eval_fn, u_test,
+                                    batch_sharding=batch_sharding)
 
-    if dp_mesh is not None:
+    if dp_mesh is not None and not use_scan:
         from mmpde_tpu.parallel import shard_batch
 
         def _dp_wrap(fn):
@@ -343,10 +354,11 @@ def main(args):
     if args.moving_mesh and args.model == 'GNN':
         itp_step = T.make_itp_step(pipe, optimizer, itp, dmm, dmm_vars,
                                    dmm_grid, dmm_nbr, donate=not use_scan)
-        if dp_mesh is not None:
+        if dp_mesh is not None and not use_scan:
             itp_step = _dp_wrap(itp_step)
         if use_scan:
-            itp_epoch = T.make_scan_epoch(itp_step, u_train)
+            itp_epoch = T.make_scan_epoch(itp_step, u_train,
+                                          batch_sharding=batch_sharding)
 
     n_inner = args.inner_loops
     test_losses = []

@@ -323,7 +323,7 @@ def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
 
 
 def make_scan_epoch(step_fn, u_all, pushforward: bool = False,
-                    donate: bool = True):
+                    donate: bool = True, batch_sharding=None):
     """Device-resident epoch driver: ONE XLA execution for a whole run of
     training steps instead of one dispatch per batch.
 
@@ -339,6 +339,12 @@ def make_scan_epoch(step_fn, u_all, pushforward: bool = False,
     ``step_fn`` is any (state, u_batch, steps[, unrolled]) -> (state, loss)
     step (GNN / CNN / ItpNet); build it with donate=False — donation is
     applied here, at the top-level epoch execution, where it is effective.
+
+    ``batch_sharding``: optional NamedSharding (e.g. P('dp')) applied to the
+    gathered batch inside the scan body, composing data parallelism with the
+    one-dispatch-per-epoch path: u_all and the state stay replicated, GSPMD
+    shards each step's batch compute across 'dp' and inserts the gradient
+    psum — multi-chip training no longer falls back to per-batch dispatch.
     """
     u_all = jnp.asarray(u_all)
 
@@ -347,6 +353,8 @@ def make_scan_epoch(step_fn, u_all, pushforward: bool = False,
         def body(st, xs):
             idx, steps, un = xs
             u = jnp.take(u_all, idx, axis=0)
+            if batch_sharding is not None:
+                u = jax.lax.with_sharding_constraint(u, batch_sharding)
             if pushforward:
                 st, loss = step_fn(st, u, steps, un)
             else:
@@ -391,7 +399,7 @@ def train_epoch_scan(rng, pipe, epoch_fn, state, n_traj: int,
     return state, float(jnp.mean(losses))
 
 
-def make_scan_eval(eval_fn, u_test):
+def make_scan_eval(eval_fn, u_test, batch_sharding=None):
     """Scanned counterpart of test_timestep_losses' inner loops: evaluates
     every (timestep, batch) pair in ONE device execution."""
     u_test = jnp.asarray(u_test)
@@ -401,6 +409,8 @@ def make_scan_eval(eval_fn, u_test):
         def body(carry, xs):
             idx, steps = xs
             u = jnp.take(u_test, idx, axis=0)
+            if batch_sharding is not None:
+                u = jax.lax.with_sharding_constraint(u, batch_sharding)
             return carry, eval_fn(state, u, steps)
 
         _, losses = jax.lax.scan(body, None, (traj_idx, start_steps))
