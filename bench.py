@@ -152,13 +152,19 @@ def measure_step(n_steps=None):
                   for _ in range(n_steps)]
 
     flops = _flops_of(step_fn, state, u_traj, steps_list[0])
-    state, loss = step_fn(state, u_traj, steps_list[0])   # compile + warmup
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for st in steps_list:
-        state, loss = step_fn(state, u_traj, st)
-    jax.block_until_ready(loss)
-    sec = (time.perf_counter() - t0) / n_steps
+    from mmpde_tpu.utils.profiling import StepTimer
+    timer = StepTimer()
+    with timer:   # StepTimer isolates the first call as compile+warmup
+        state, loss = step_fn(state, u_traj, steps_list[0])
+        jax.block_until_ready(loss)
+    # steady state: pipelined dispatch (block once), the training-loop shape
+    with timer:
+        for st in steps_list:
+            state, loss = step_fn(state, u_traj, st)
+        jax.block_until_ready(loss)
+    sec = timer.steps_s[0] / n_steps
+    print(f"[bench] per-step: compile+warmup {timer.compile_s:.1f}s, "
+          f"{sec * 1e3:.1f} ms/step", file=sys.stderr)
     return sec, flops
 
 

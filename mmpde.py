@@ -13,6 +13,7 @@ Run commands (README.md:36-54 parity):
 """
 
 import argparse
+import contextlib
 import os
 import time
 from datetime import datetime
@@ -97,6 +98,11 @@ def get_args(argv=None):
                              'XLA execution instead of one dispatch per '
                              'batch (extension; falls back to the per-batch '
                              'loop with --native_loader or --dp > 1).')
+    parser.add_argument('--profile', type=eval, default=False,
+                        help='capture a jax.profiler trace of the second '
+                             'training epoch (post-compile) into '
+                             'logs/profile_<timestamp>/; view with '
+                             'TensorBoard')
     parser.add_argument('--dp', type=int, default=1,
                         help='data-parallel devices: shard the batch across '
                              'a dp-way jax mesh (params replicated; XLA '
@@ -385,20 +391,30 @@ def main(args):
                     print(f'Training ItpNet Loss (progress: '
                           f'{i / (n_inner or pipe.t_res):.2f}): {float(l_itp)}')
 
+        # --profile: trace the second epoch (the first is dominated by
+        # compiles, which would drown the steady-state timeline)
+        profile_ctx = None
+        if args.profile and epoch == start_epoch + 1:
+            from mmpde_tpu.utils.profiling import trace
+            profile_dir = os.path.join('logs', f'profile_{timestring}')
+            profile_ctx = trace(profile_dir)
+            print(f'Profiling this epoch -> {profile_dir}')
+
         t_ep = time.perf_counter()
-        if native_loader is not None:
-            state, train_loss = T.train_epoch_native(
-                rng, pipe, step_fn, state, native_loader, len(u_train),
-                max_unroll, n_inner=n_inner)
-        elif epoch_fn is not None:
-            state, train_loss = T.train_epoch_scan(
-                rng, pipe, epoch_fn, state, len(u_train), args.batch_size,
-                max_unroll, n_inner=n_inner)
-        else:
-            state, train_loss = T.train_epoch(rng, pipe, step_fn, state,
-                                              u_train, args.batch_size,
-                                              max_unroll, n_inner=n_inner,
-                                              pushforward=args.pushforward)
+        with (profile_ctx or contextlib.nullcontext()):
+            if native_loader is not None:
+                state, train_loss = T.train_epoch_native(
+                    rng, pipe, step_fn, state, native_loader, len(u_train),
+                    max_unroll, n_inner=n_inner)
+            elif epoch_fn is not None:
+                state, train_loss = T.train_epoch_scan(
+                    rng, pipe, epoch_fn, state, len(u_train), args.batch_size,
+                    max_unroll, n_inner=n_inner)
+            else:
+                state, train_loss = T.train_epoch(
+                    rng, pipe, step_fn, state, u_train, args.batch_size,
+                    max_unroll, n_inner=n_inner,
+                    pushforward=args.pushforward)
         epoch_s = time.perf_counter() - t_ep
         bs = min(args.batch_size, len(u_train))
         n_steps = (n_inner or pipe.t_res) * max(1, len(u_train) // bs)
