@@ -50,9 +50,26 @@ class GNNLayer(nn.Module):
     message  = ReLU(W2 ReLU(W1 [h_i, h_j, u_i-u_j, dpos_x, dpos_y, vars_i]))
     update   = ReLU(W4 ReLU(W3 [h_i, mean_j message, vars_i]))
     out      = BatchNorm(h_i + update)
+
+    node_mesh: optional jax.sharding.Mesh with a 'node' axis — the neighbor
+    gather goes through the explicit shard_map halo path
+    (parallel/node_parallel.py::sharded_gather_nodes): each shard holds N/D
+    nodes, all-gathers only the H-wide feature table over ICI, and every
+    [*, N/D, k, H] edge tensor stays strictly shard-local.  For meshes too
+    large for one chip's HBM this bounds per-device residency by N/D
+    (the message-passing analog of sequence parallelism, SURVEY.md §5).
     """
 
     hidden: int
+    node_mesh: Optional[object] = None
+
+    def _gather(self, s_node, nbr):
+        if self.node_mesh is None:
+            return gather_nodes(s_node, nbr)
+        from mmpde_tpu.parallel.node_parallel import sharded_gather_nodes
+        if nbr.ndim == 2:
+            nbr = jnp.broadcast_to(nbr[None], s_node.shape[:1] + nbr.shape)
+        return sharded_gather_nodes(self.node_mesh, s_node, nbr)
 
     @nn.compact
     def __call__(self, h, u, pos_x, pos_y, variables, nbr, train: bool,
@@ -87,6 +104,7 @@ class GNNLayer(nn.Module):
         # -> k-mean in one VMEM-resident kernel; see ops/pallas_edge.py).
         # kNN graphs with the relu activation only; identical math.
         use_pallas = (mask is None and act is nn.relu
+                      and self.node_mesh is None
                       and os.environ.get("MMPDE_PALLAS_MP") == "1")
         if use_pallas:
             from mmpde_tpu.ops.pallas_edge import edge_mlp
@@ -96,7 +114,7 @@ class GNNLayer(nn.Module):
             w2 = dense2(jnp.eye(self.hidden, dtype=a_node.dtype)) - b2[None]
             m = edge_mlp(a_node, gather_nodes(s_node, nbr), w2, b2)
         else:
-            m = act(a_node[:, :, None, :] + gather_nodes(s_node, nbr))
+            m = act(a_node[:, :, None, :] + self._gather(s_node, nbr))
             m = act(dense2(m))
             if edge_dtype is not None:
                 m = m.astype(jnp.float32)
@@ -120,15 +138,16 @@ class _GNNScanCell(nn.Module):
     """nn.scan cell: carry = h, broadcast inputs, per-layer stacked params."""
 
     hidden: int
+    node_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, h, u, pos_x, pos_y, variables, nbr, train, mask, act):
-        h = GNNLayer(self.hidden, name="layer")(
+        h = GNNLayer(self.hidden, node_mesh=self.node_mesh, name="layer")(
             h, u, pos_x, pos_y, variables, nbr, train, mask, act)
         return h, None
 
 
-def gnn_stack(n_layers: int, hidden: int, name: str):
+def gnn_stack(n_layers: int, hidden: int, name: str, node_mesh=None):
     """Stack of message-passing layers as ONE scanned program.
 
     The six unrolled layers of the reference (gnn_2d.py:91-97) would appear
@@ -143,7 +162,7 @@ def gnn_stack(n_layers: int, hidden: int, name: str):
         in_axes=(nn.broadcast,) * 8,
         length=n_layers,
         metadata_params={nn.meta.PARTITION_NAME: None},
-    )(hidden, name=name)
+    )(hidden, node_mesh, name=name)
 
 
 class MPSolver2D(nn.Module):
@@ -164,6 +183,9 @@ class MPSolver2D(nn.Module):
     lx: float = 1.0
     ly: float = 1.0
     tmax: float = 1.0
+    # optional Mesh with a 'node' axis: explicit shard_map halo gather, see
+    # GNNLayer.node_mesh (large-mesh node-axis sharding)
+    node_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, u, pos, nbr, train: bool = False,
@@ -181,7 +203,7 @@ class MPSolver2D(nn.Module):
         h = _NodeNorm(name="embed_norm_1")(h, train)
 
         h, _ = gnn_stack(self.hidden_layer, self.hidden_features,
-                         name="gnn_layers")(
+                         name="gnn_layers", node_mesh=self.node_mesh)(
             h, u, pos_x, pos_y, variables, nbr, train, mask, nn.relu)
 
         # Conv1d decoder over the feature axis (gnn_2d.py:108-114):

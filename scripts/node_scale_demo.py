@@ -1,0 +1,80 @@
+"""Node-axis scaling demonstration beyond reference size (SURVEY.md §5).
+
+Builds a synthetic 102,400-node mesh (320x320 grid; the reference tops out
+at 2,521 nodes, mmpde.py:358-360), runs the MP solver forward with the
+node axis sharded 8 ways via the explicit shard_map halo-gather path
+(MPSolver2D(node_mesh=...), parallel/node_parallel.py), and compares XLA's
+compiled per-device memory analysis against the unsharded program.
+
+Run on the virtual CPU mesh (no TPU pod needed):
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        PYTHONPATH=. python scripts/node_scale_demo.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from mmpde_tpu.models import MPSolver2D
+    from mmpde_tpu.ops import uniform_grid
+    from mmpde_tpu.ops.knn import knn_query_uniform_grid
+    from mmpde_tpu.parallel import replicate, shard_nodes
+
+    side, k, tw, h, layers = 320, 16, 1, 128, 2
+    grid = uniform_grid(side)                  # 102,400 nodes
+    n = grid.shape[0]
+    print(f"mesh: {n:,} nodes, k={k}, hidden={h}, {layers} MP layers "
+          f"({n / 2521:.0f}x the reference cylinder mesh)")
+    # analytic window kNN: O(N * window^2), identical to the dense kNN on a
+    # uniform grid — the dense O(N^2) distance matrix would be 42 GB here
+    nbr = knn_query_uniform_grid(side, grid, k)
+    u = jax.random.normal(jax.random.PRNGKey(0), (1, n, tw))
+    pos = jnp.concatenate(
+        [jnp.zeros((1, n, 1)), jnp.broadcast_to(grid[None], (1, n, 2))], -1)
+
+    def report(tag, model, u_in, pos_in, variables, execute):
+        compiled = jax.jit(
+            lambda v, a, p: model.apply(v, a, p, nbr)
+        ).lower(variables, u_in, pos_in).compile()
+        ma = compiled.memory_analysis()
+        tmp = ma.temp_size_in_bytes if ma else float("nan")
+        print(f"{tag}: per-device temp {tmp / 1e9:.2f} GB")
+        if execute:
+            t0 = time.perf_counter()
+            out = compiled(variables, u_in, pos_in)
+            jax.block_until_ready(out)
+            print(f"{tag}: executed, |out| mean "
+                  f"{float(jnp.abs(out).mean()):.4f}, "
+                  f"{time.perf_counter() - t0:.1f}s")
+        return tmp
+
+    model1 = MPSolver2D(time_window=tw, hidden_features=h,
+                        hidden_layer=layers)
+    variables = model1.init(jax.random.PRNGKey(1), u[:, :64], pos[:, :64],
+                            nbr[:64] % 64)
+    b1 = report("unsharded (1 device)", model1, u, pos, variables,
+                execute=False)
+
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()).reshape(1, n_dev), ("dp", "node"))
+    model8 = MPSolver2D(time_window=tw, hidden_features=h,
+                        hidden_layer=layers, node_mesh=mesh)
+    u_s, pos_s = shard_nodes(mesh, (u, pos))
+    b8 = report(f"node-sharded ({n_dev} devices)", model8, u_s, pos_s,
+                replicate(mesh, variables), execute=True)
+    print(f"per-device residency: {b1 / b8:.1f}x headroom from "
+          f"{n_dev}-way node sharding")
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,79 @@ def test_dp_scan_epoch_matches_single_device():
 
 
 @requires_8
+def test_shard_map_solver_forward_matches_local():
+    """MPSolver2D(node_mesh=...) — the explicit shard_map halo-gather path
+    wired into the production model (VERDICT r2 item 6) — matches the dense
+    single-device forward exactly."""
+    from jax.sharding import Mesh
+
+    b, k, tw = 2, 3, 1
+    grid = uniform_grid(8)  # 64 nodes -> 16 per node shard
+    n = grid.shape[0]
+    nbr = knn_indices(grid, k)
+    u = jax.random.normal(jax.random.PRNGKey(0), (b, n, tw))
+    pos = jnp.concatenate(
+        [jnp.zeros((b, n, 1)), jnp.broadcast_to(grid[None], (b, n, 2))], -1)
+
+    ref_model = MPSolver2D(time_window=tw, hidden_features=32, hidden_layer=2)
+    variables = ref_model.init(jax.random.PRNGKey(1), u, pos, nbr)
+    ref = ref_model.apply(variables, u, pos, nbr)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "node"))
+    sh_model = MPSolver2D(time_window=tw, hidden_features=32, hidden_layer=2,
+                          node_mesh=mesh)
+    u_s, pos_s = shard_nodes(mesh, (u, pos))
+    v_r = replicate(mesh, variables)
+    out = jax.jit(lambda v, a, p: sh_model.apply(v, a, p, nbr))(v_r, u_s,
+                                                                pos_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=1e-6)
+
+
+@requires_8
+def test_node_sharding_memory_headroom():
+    """The point of node-axis sharding: per-device peak residency of the
+    solver forward drops with the shard count.  Compares XLA's compiled
+    memory analysis (temp + argument bytes) of the node-sharded program
+    against the unsharded one on a mesh ~7x the reference size."""
+    from jax.sharding import Mesh
+
+    b, k, tw, h = 1, 8, 1, 64
+    grid = uniform_grid(128)          # 16,384 nodes (reference: 2,304)
+    n = grid.shape[0]
+    nbr = knn_indices(grid, k)
+    u = jax.random.normal(jax.random.PRNGKey(0), (b, n, tw))
+    pos = jnp.concatenate(
+        [jnp.zeros((b, n, 1)), jnp.broadcast_to(grid[None], (b, n, 2))], -1)
+
+    def peak_bytes(model, u_in, pos_in, variables):
+        compiled = jax.jit(
+            lambda v, a, p: model.apply(v, a, p, nbr)
+        ).lower(variables, u_in, pos_in).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            pytest.skip("backend lacks memory_analysis")
+        return ma.temp_size_in_bytes
+
+    model1 = MPSolver2D(time_window=tw, hidden_features=h, hidden_layer=1)
+    variables = model1.init(jax.random.PRNGKey(1), u, pos, nbr)
+    bytes1 = peak_bytes(model1, u, pos, variables)
+
+    devices = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devices, ("dp", "node"))
+    model8 = MPSolver2D(time_window=tw, hidden_features=h, hidden_layer=1,
+                        node_mesh=mesh)
+    u_s, pos_s = shard_nodes(mesh, (u, pos))
+    bytes8 = peak_bytes(model8, u_s, pos_s, replicate(mesh, variables))
+
+    # per-device temp memory must drop by at least 3x with 8 node shards
+    # (the [B, N, k, H] edge tensors dominate and shard perfectly; the
+    # all-gathered H-wide table is the only replicated term)
+    assert bytes8 * 3 < bytes1, (bytes1, bytes8)
+
+
+@requires_8
 def test_shard_map_gather_matches_local():
     from jax.sharding import Mesh
     from mmpde_tpu.parallel.node_parallel import (
