@@ -44,10 +44,17 @@ def _burgers_batch(key, n_traj: int, nt: int, s: int, tmax: float,
     efull = jnp.exp(-nu * K2 * dt)
     ehalf = jnp.exp(-nu * K2 * dt / 2.0)
 
+    # complex values are built ON DEVICE from real parts (lax.complex):
+    # the remote-TPU plugin cannot transfer complex literals (UNIMPLEMENTED),
+    # which previously pinned generation to the host CPU — 1 core, ~2 h for
+    # the full set vs minutes on the chip
+    ikx = jax.lax.complex(jnp.zeros_like(KX), KX)
+    iky = jax.lax.complex(jnp.zeros_like(KY), KY)
+
     def nonlinear(uh):
         u = jnp.fft.ifft2(uh).real
-        ux = jnp.fft.ifft2(1j * KX * uh).real
-        uy = jnp.fft.ifft2(1j * KY * uh).real
+        ux = jnp.fft.ifft2(ikx * uh).real
+        uy = jnp.fft.ifft2(iky * uh).real
         return -jnp.fft.fft2(u * (ux + uy)) * dealias
 
     def rk4_step(uh, _):
@@ -70,12 +77,15 @@ def _burgers_batch(key, n_traj: int, nt: int, s: int, tmax: float,
         k1, k2 = jax.random.split(k)
         nmodes = 4
         amp = jax.random.normal(k1, (2 * nmodes + 1, 2 * nmodes + 1, 2))
-        field_h = jnp.zeros((s, s), dtype=jnp.complex64)
         idx = jnp.arange(-nmodes, nmodes + 1)
         decay = jnp.exp(-0.5 * (idx[:, None] ** 2 + idx[None, :] ** 2) / 2.0**2)
-        coeff = (amp[..., 0] + 1j * amp[..., 1]) * decay
-        field_h = field_h.at[idx[:, None], idx[None, :]].set(coeff)
-        u = jnp.fft.ifft2(field_h).real
+        # scatter the low-mode block into REAL planes (complex scatter is
+        # unimplemented on the TPU backend), combine with lax.complex
+        re = jnp.zeros((s, s), jnp.float32).at[
+            idx[:, None], idx[None, :]].set(amp[..., 0] * decay)
+        im = jnp.zeros((s, s), jnp.float32).at[
+            idx[:, None], idx[None, :]].set(amp[..., 1] * decay)
+        u = jnp.fft.ifft2(jax.lax.complex(re, im)).real
         u = u / (jnp.std(u) + 1e-8) * 0.2
         return u
 
@@ -97,22 +107,45 @@ def generate_burgers(n_traj: int = 100, nt: int = 31, s: int = 192,
                      batch: int = 20) -> np.ndarray:
     """Generate Burgers trajectories; returns float32 [n_traj, nt, s, s].
 
-    Runs on the CPU backend: the spectral solver is complex64-heavy and the
-    remote-TPU plugin cannot transfer complex constants (UNIMPLEMENTED);
-    generation is a one-time cost.
+    Attempts the default accelerator first: every complex value in the
+    solver is constructed on device from real parts (lax.complex) to
+    sidestep the remote-TPU plugin's complex-literal transfer limitation.
+    Falls back to the host CPU on any backend error (the remote axon
+    backend still rejects parts of the complex FFT path as UNIMPLEMENTED);
+    results are identical either way (same key derivation).
     """
     import jax
 
-    cpu = jax.devices("cpu")[0]
-    out = []
-    key = jax.random.PRNGKey(seed)
-    with jax.default_device(cpu):
-        for i in range(0, n_traj, batch):
-            sub = min(batch, n_traj - i)
-            out.append(np.asarray(_burgers_batch(
-                jax.random.fold_in(key, i), sub, nt, s, tmax, nu,
-                sub_steps)))
-    return np.concatenate(out, axis=0)
+    # advective CFL floor: with |u| ~ 0.3 the integrating-factor RK4 goes
+    # NaN when dt > ~dx/|u|; raise sub_steps so dt <= 0.5*dx/0.3.  The
+    # full-size default (s=192, sub_steps=200) already satisfies this
+    # (floor 116) — only under-resolved smoke-test configs are lifted.
+    dt_max = 0.5 * (1.0 / s) / 0.3
+    min_sub = int(np.ceil(tmax / (nt - 1) / dt_max))
+    sub_steps = max(sub_steps, min_sub)
+
+    def run(device):
+        out = []
+        with jax.default_device(device):
+            # the key must be created INSIDE the device context: a key
+            # resident on the remote TPU cannot be copied back to CPU
+            # (UNIMPLEMENTED), which used to break the fallback path
+            key = jax.random.PRNGKey(seed)
+            for i in range(0, n_traj, batch):
+                sub = min(batch, n_traj - i)
+                out.append(np.asarray(_burgers_batch(
+                    jax.random.fold_in(key, i), sub, nt, s, tmax, nu,
+                    sub_steps)))
+        return np.concatenate(out, axis=0)
+
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        try:
+            return run(dev)
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"[mmpde_tpu] accelerator generation failed ({e!r}); "
+                  "falling back to CPU")
+    return run(jax.devices("cpu")[0])
 
 
 def _cylinder_mesh(n_nodes: int, seed: int) -> np.ndarray:

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--data_root", default="data")
     p.add_argument("--dmm_checkpoint", default=None)
     p.add_argument("--batch", type=int, default=6)
+    p.add_argument("--n_traj", type=int, default=None,
+                   help="dataset size; default: the checkpoint's n_traj, so "
+                        "the 80/20 split matches the one the run trained on")
     args = p.parse_args()
 
     # fail fast with a usable message: a missing/empty checkpoint argument
@@ -58,9 +61,13 @@ def main():
     moving = bool(ckpt_args.get("moving_mesh", False)) and \
         "model_b" in state_raw["params"]
 
+    # match the training split (and never trigger a full-dataset regeneration
+    # because the default n_traj exceeds what the run actually used)
+    n_traj = args.n_traj or int(ckpt_args.get("n_traj") or 100)
     pde, u_train, u_test = load_experiment(args.experiment,
                                            args.base_resolution,
-                                           data_root=args.data_root)
+                                           data_root=args.data_root,
+                                           n_traj=n_traj)
     pipe = GraphPipeline(pde, neighbors=int(ckpt_args["neighbors"]),
                          connect_edge=ckpt_args["connect_edge"],
                          time_window=int(ckpt_args["time_window"]),

@@ -39,6 +39,9 @@ def tiny_data_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli_data")
     arr = generate_burgers(n_traj=6, nt=9, s=24, sub_steps=10, seed=0,
                            batch=6)
+    # the CFL floor in generate_burgers must keep even this under-resolved
+    # config finite (it used to go NaN and the CLI tests trained on it)
+    assert np.isfinite(arr).all()
     np.save(root / "burgers_192.npy", arr)
     return str(root)
 
@@ -51,6 +54,26 @@ def test_mmpde_plain_gnn_cli_tiny(tiny_data_root, tmp_path):
               "--data_root", tiny_data_root], cwd=str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Mean Timestep Test Error" in r.stdout
+
+    # rollout eval on the checkpoint the run printed (the r2d chain failure
+    # mode: a chain resolving the wrong/missing checkpoint went unnoticed)
+    ckpt = next(line for line in r.stdout.splitlines()
+                if line.startswith("models/"))
+    r2 = _run([os.path.join(REPO, "scripts/eval_rollout.py"), ckpt,
+               "--base_resolution", "9,12,12",
+               "--data_root", tiny_data_root], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    import json
+    result = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert result["metric"] == "rollout_relative_l2"
+    assert np.isfinite(result["value"])
+
+    # missing-checkpoint path fails FAST with a usable message, not a bare
+    # FileNotFoundError minutes in
+    r3 = _run([os.path.join(REPO, "scripts/eval_rollout.py"),
+               "models/does_not_exist"], cwd=str(tmp_path), timeout=60)
+    assert r3.returncode != 0
+    assert "does not exist" in (r3.stdout + r3.stderr)
 
 
 def test_dmm_cli_then_mmpde_full_tiny(tiny_data_root, tmp_path):
