@@ -175,14 +175,9 @@ class GraphPipeline:
 
     # ---------------- learned kNN interpolation ----------------
 
-    def itp_interpolate(self, itp: ItpNet, itp_vars, values, src_pts,
-                        query_pts, mode: str, uniform_src: bool = False,
-                        aligned: bool = False):
-        """Move per-node values between meshes with learned kNN weights.
-
-        values [B, N_src, C], src_pts [B, N_src, 2], query_pts [B, Q, 2]
-        -> [B, Q, C].  (reference: GraphCreator_FS_2D.interpolate,
-        data_creator_2d.py:46-85 — sklearn kNN replaced by device top_k.)
+    def _itp_nbr(self, src_pts, query_pts, uniform_src: bool,
+                 aligned: bool) -> jnp.ndarray:
+        """kNN indices [B, Q, k] for learned interpolation (search only).
 
         uniform_src: sources are the static uniform grid — with
         MMPDE_GRID_KNN=1 the O(Q*window^2) analytic window search replaces
@@ -205,23 +200,76 @@ class GraphPipeline:
         c_cand = self._local_knn_cand()
         if use_window:
             n_side = self.pde.grid_size[1]
-            nbr = jax.vmap(lambda q: knn_query_uniform_grid(
+            return jax.vmap(lambda q: knn_query_uniform_grid(
                 n_side, q, k))(query_pts)                       # [B, Q, k]
-        elif (aligned and c_cand and
-              query_pts.shape[1] == self.n_nodes and
-              src_pts.shape[1] == self.n_nodes):
+        if (aligned and c_cand and
+                query_pts.shape[1] == self.n_nodes and
+                src_pts.shape[1] == self.n_nodes):
             # one-sided moves need headroom for the displacement itself on
             # top of density contrast: use 2x the two-sided candidate count
             cand = self._local_cand(2 * c_cand)
-            nbr = jax.vmap(lambda src, q: ops.knn_via_candidates(
+            return jax.vmap(lambda src, q: ops.knn_via_candidates(
                 src, q, cand, k))(src_pts, query_pts)           # [B, Q, k]
+        return jax.vmap(lambda src, q: ops.knn_query(src, q, k))(
+            src_pts, query_pts)                                 # [B, Q, k]
+
+    def itp_interpolate(self, itp: ItpNet, itp_vars, values, src_pts,
+                        query_pts, mode: str, uniform_src: bool = False,
+                        aligned: bool = False, geom=None):
+        """Move per-node values between meshes with learned kNN weights.
+
+        values [B, N_src, C], src_pts [B, N_src, 2], query_pts [B, Q, 2]
+        -> [B, Q, C].  (reference: GraphCreator_FS_2D.interpolate,
+        data_creator_2d.py:46-85 — sklearn kNN replaced by device top_k.)
+
+        geom: optional precomputed (nbr [B,Q,k], weights [B,Q,k]) from
+        itp_geometry — skips the search and the weight MLP.
+        """
+        if geom is not None:
+            nbr, w = geom
         else:
-            nbr = jax.vmap(lambda src, q: ops.knn_query(src, q, k))(
-                src_pts, query_pts)                             # [B, Q, k]
-        nbr_pts = jax.vmap(lambda s, i: s[i])(src_pts, nbr)     # [B, Q, k, 2]
+            nbr = self._itp_nbr(src_pts, query_pts, uniform_src, aligned)
+            nbr_pts = jax.vmap(lambda s, i: s[i])(src_pts, nbr)  # [B,Q,k,2]
+            w = itp.apply(itp_vars, nbr_pts, query_pts[:, :, None, :], mode)
         nbr_val = jax.vmap(lambda v, i: v[i])(values, nbr)      # [B, Q, k, C]
-        w = itp.apply(itp_vars, nbr_pts, query_pts[:, :, None, :], mode)
         return jnp.einsum("bqk,bqkc->bqc", w, nbr_val)
+
+    def itp_geometry(self, itp: ItpNet, itp_vars, mesh):
+        """Both interpolation directions' (neighbors, weights) in ONE
+        stacked weight-MLP apply (MMPDE_FUSED_ITP=1 fast path).
+
+        The mode-'1' (uniform -> moved) and mode-'2' (moved -> uniform)
+        weights depend only on geometry, not on the values being moved, so
+        both can be computed right after mesh movement; the reference
+        evaluates each MLP at its use site (data_creator_2d.py:80-85,
+        :290-296).  Stacking the two MLPs' parameters doubles the matmul
+        batch — one apply instead of two half-size dispatches.  Requires
+        itp.layers1 == itp.layers2 (same stack shape).
+
+        mesh [B, N, 2] -> ((nbr1, w1), (nbr2, w2)), each [B, N, k] pairs.
+        """
+        assert tuple(itp.layers1) == tuple(itp.layers2), \
+            "fused itp geometry needs layers1 == layers2"
+        b = mesh.shape[0]
+        grid = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
+        nbr1 = self._itp_nbr(grid, mesh, uniform_src=True, aligned=True)
+        nbr2 = self._itp_nbr(mesh, grid, uniform_src=False, aligned=True)
+        pts1 = jax.vmap(lambda s, i: s[i])(grid, nbr1)    # [B, N, k, 2]
+        pts2 = jax.vmap(lambda s, i: s[i])(mesh, nbr2)
+        x1 = jnp.concatenate([pts1, mesh[:, :, None, :]], axis=-2)
+        x2 = jnp.concatenate([pts2, grid[:, :, None, :]], axis=-2)
+        x = jnp.stack([x1, x2]).reshape(2, b, mesh.shape[1], -1)
+        params = itp_vars["params"]
+        n_layers = len(itp.layers1) + 1
+        for j in range(n_layers):
+            kern = jnp.stack([params[f"w1_{j}"]["kernel"],
+                              params[f"w2_{j}"]["kernel"]])
+            bias = jnp.stack([params[f"w1_{j}"]["bias"],
+                              params[f"w2_{j}"]["bias"]])
+            x = jnp.einsum("sbqd,sde->sbqe", x, kern) + bias[:, None, None]
+            if j != n_layers - 1:
+                x = jnp.tanh(x)
+        return (nbr1, x[0]), (nbr2, x[1])
 
     def moved_graph(self, dmm, dmm_vars, itp, itp_vars, data, labels, steps,
                     dmm_grid=None, dmm_nbr=None):
@@ -233,16 +281,25 @@ class GraphPipeline:
         matching the reference, which builds whichever edge type was
         requested for both graphs (data_creator_2d.py:256-260).
         """
+        mesh = self.moved_mesh(dmm, dmm_vars, data, dmm_grid, dmm_nbr)
+        u_m, y_m, pos, nbr, nbr_mask = self.moved_graph_from_mesh(
+            itp, itp_vars, data, labels, steps, mesh)
+        return u_m, y_m, mesh, pos, nbr, nbr_mask
+
+    def moved_graph_from_mesh(self, itp, itp_vars, data, labels, steps,
+                              mesh, geom=None):
+        """moved_graph with the mesh (and optionally the mode-'1'
+        interpolation geometry from itp_geometry) already computed."""
         u, y = self._node_fields(data, labels)
         b = u.shape[0]
-        mesh = self.moved_mesh(dmm, dmm_vars, data, dmm_grid, dmm_nbr)
         src = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
         # one kNN + one weight evaluation for data AND labels (the learned
         # weights depend only on geometry; the reference recomputes both,
         # data_creator_2d.py:206-209)
         uy = self.itp_interpolate(itp, itp_vars,
                                   jnp.concatenate([u, y], axis=-1), src,
-                                  mesh, "1", uniform_src=True, aligned=True)
+                                  mesh, "1", uniform_src=True, aligned=True,
+                                  geom=geom)
         u_m, y_m = uy[..., :self.tw], uy[..., self.tw:]
         c_cand = self._local_knn_cand()
         if self.e == "radius":
@@ -261,19 +318,20 @@ class GraphPipeline:
         else:
             nbr = jax.vmap(lambda p: ops.knn_indices(p, self.n))(mesh)
             nbr_mask = None
-        return u_m, y_m, mesh, self._pos(mesh, steps), nbr, nbr_mask
+        return u_m, y_m, self._pos(mesh, steps), nbr, nbr_mask
 
-    def interpolate_pred(self, itp, itp_vars, pred, mesh, data):
+    def interpolate_pred(self, itp, itp_vars, pred, mesh, data, geom=None):
         """Moved-mesh prediction -> uniform mesh + residual-cut correction.
 
         pred [B, N, tw], mesh [B, N, 2], data [B, tw, ...spatial]
-        -> [B, N, tw] on the uniform mesh.
+        -> [B, N, tw] on the uniform mesh.  geom: optional precomputed
+        mode-'2' (nbr, weights) from itp_geometry.
         (reference: data_creator_2d.py:270-305.)
         """
         b = pred.shape[0]
         query = jnp.broadcast_to(self.grid[None], (b,) + self.grid.shape)
         pred_grid = self.itp_interpolate(itp, itp_vars, pred, mesh, query,
-                                         "2", aligned=True)
+                                         "2", aligned=True, geom=geom)
         if self.is_grid:
             nx, ny = self.pde.ori_grid_size[-2], self.pde.ori_grid_size[-1]
             res = itp.apply(itp_vars, None, None, "res_cut",

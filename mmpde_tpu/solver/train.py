@@ -16,6 +16,7 @@ unaffected.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct
@@ -124,6 +125,42 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
             return x
         return jax.lax.with_sharding_constraint(x, node_sharding)
 
+    def _fused_two_branch(params, batch_stats, u_m, pos_m, nbr_m,
+                          u_u, pos_u, is_train):
+        """Both GNN branches in ONE vmapped apply over stacked params.
+
+        model and model_b share an architecture; stacking their parameter
+        trees on a leading axis and vmapping the apply turns every pair of
+        matmuls/gathers/norms into one batched op — half the XLA ops per
+        step (MMPDE_FUSED_BRANCHES=1, kNN graphs only).  BatchNorm runs
+        per-branch under vmap, identical semantics to two separate applies.
+        """
+        pstack = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            params["model_b"], params["model"])
+        sstack = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]),
+            batch_stats["model_b"], batch_stats["model"])
+        nbr_u = pipe.uniform_nbr
+        if nbr_u.ndim == 2:
+            nbr_u = jnp.broadcast_to(nbr_u[None], nbr_m.shape)
+        u2 = jnp.stack([u_m, u_u])
+        pos2 = jnp.stack([pos_m, pos_u])
+        nbr2 = jnp.stack([nbr_m, nbr_u])
+
+        def one(p, s, u, pos, nbr):
+            return _solver_apply(model, p, s, u, pos, nbr, is_train, None)
+
+        (preds, sts) = jax.vmap(one)(pstack, sstack, u2, pos2, nbr2)
+        take = jax.tree_util.tree_map
+        st_b = take(lambda x: x[0], sts["batch_stats"])
+        st_u = take(lambda x: x[1], sts["batch_stats"])
+        return preds[0], preds[1], st_b, st_u
+
+    fuse_branches = os.environ.get("MMPDE_FUSED_BRANCHES") == "1"
+    fuse_itp = (os.environ.get("MMPDE_FUSED_ITP") == "1" and moving
+                and tuple(itp.layers1) == tuple(itp.layers2))
+
     def _predict(params, batch_stats, data, labels, steps, is_train):
         """Full two-branch prediction in node layout [B, N, tw]."""
         u_u, y_u, _, pos_u = pipe.uniform_graph(data, labels, steps)
@@ -131,20 +168,45 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
         new_stats = dict(batch_stats)
         if moving:
             itp_vars = {"params": params["itp"]}
-            u_m, y_m, mesh, pos_m, nbr_m, mask_m = pipe.moved_graph(
-                dmm, dmm_vars, itp, itp_vars, data, labels, steps,
-                dmm_grid, dmm_nbr)
+            geom2 = None
+            if fuse_itp:
+                # both interpolation directions' kNN + weights in one
+                # stacked MLP apply (MMPDE_FUSED_ITP=1): the mode-'2'
+                # weights only depend on geometry, so they are computed
+                # here and reused by interpolate_pred below
+                mesh = pipe.moved_mesh(dmm, dmm_vars, data, dmm_grid,
+                                       dmm_nbr)
+                geom1, geom2 = pipe.itp_geometry(itp, itp_vars, mesh)
+                u_m, y_m, pos_m, nbr_m, mask_m = pipe.moved_graph_from_mesh(
+                    itp, itp_vars, data, labels, steps, mesh, geom=geom1)
+            else:
+                u_m, y_m, mesh, pos_m, nbr_m, mask_m = pipe.moved_graph(
+                    dmm, dmm_vars, itp, itp_vars, data, labels, steps,
+                    dmm_grid, dmm_nbr)
             u_m, pos_m = _c(u_m), _c(pos_m)
-            pred_b, st_b = _solver_apply(model_b, params["model_b"],
-                                         batch_stats["model_b"], u_m, pos_m,
-                                         nbr_m, is_train, mask_m)
-            pred_m = pipe.interpolate_pred(itp, itp_vars, pred_b, mesh, data)
-            new_stats["model_b"] = st_b["batch_stats"]
-        pred_u, st = _solver_apply(model, params["model"],
-                                   batch_stats["model"], u_u, pos_u,
-                                   pipe.uniform_nbr, is_train, mask)
-        new_stats["model"] = st["batch_stats"]
-        pred = pred_m + pred_u if moving else pred_u
+            if fuse_branches and mask_m is None and mask is None:
+                pred_b, pred_u, st_b, st_u = _fused_two_branch(
+                    params, batch_stats, u_m, pos_m, nbr_m, u_u, pos_u,
+                    is_train)
+                new_stats["model_b"], new_stats["model"] = st_b, st_u
+            else:
+                pred_b, stb = _solver_apply(model_b, params["model_b"],
+                                            batch_stats["model_b"], u_m,
+                                            pos_m, nbr_m, is_train, mask_m)
+                new_stats["model_b"] = stb["batch_stats"]
+                pred_u, st = _solver_apply(model, params["model"],
+                                           batch_stats["model"], u_u, pos_u,
+                                           pipe.uniform_nbr, is_train, mask)
+                new_stats["model"] = st["batch_stats"]
+            pred_m = pipe.interpolate_pred(itp, itp_vars, pred_b, mesh, data,
+                                           geom=geom2)
+            pred = pred_m + pred_u
+        else:
+            pred_u, st = _solver_apply(model, params["model"],
+                                       batch_stats["model"], u_u, pos_u,
+                                       pipe.uniform_nbr, is_train, mask)
+            new_stats["model"] = st["batch_stats"]
+            pred = pred_u
         if residual_head:
             pred = pred + u_u[..., -1:]
         return pred, y_u, new_stats

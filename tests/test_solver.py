@@ -129,6 +129,71 @@ def test_moving_mesh_two_branch_step(tiny_setup):
     assert np.isfinite(float(el))
 
 
+@pytest.mark.parametrize("flags", [("MMPDE_FUSED_BRANCHES",),
+                                   ("MMPDE_FUSED_ITP",),
+                                   ("MMPDE_FUSED_BRANCHES",
+                                    "MMPDE_FUSED_ITP")])
+def test_fused_paths_match_unfused(tiny_setup, monkeypatch, flags):
+    """The fused fast paths must produce the same loss and updated state as
+    the reference path: MMPDE_FUSED_BRANCHES=1 (both GNN branches in one
+    vmapped apply over stacked params), MMPDE_FUSED_ITP=1 (both
+    interpolation directions' weights in one stacked MLP apply), and their
+    composition."""
+    pde, pipe, u = tiny_setup
+    key = jax.random.PRNGKey(0)
+
+    dmm = DMM(mode="array", branch_layer=7, trunk_layer=(2, 16, 32),
+              out_layer=(64, 32, 1))
+    dmm_vars = dmm.init(key, jnp.ones((2, NX, NX)), jnp.zeros((2, 3, 2)))
+    itp = ItpNet(ori_nx=NX, ori_ny=NX, layers1=(16,), layers2=(16,),
+                 res_cut_node=(1, 2, 1))
+    nbq, qq = jnp.ones((1, 2, 30, 2)), jnp.ones((1, 2, 1, 2))
+    itp_params = {**itp.init(key, nbq, qq, "1")["params"],
+                  **itp.init(key, nbq, qq, "2")["params"],
+                  **itp.init(key, None, None, "res_cut",
+                             jnp.ones((1, 1, NX, NX)))["params"]}
+
+    kw = dict(time_window=1, hidden_features=32, hidden_layer=2,
+              dt=pde.dt, tmax=pde.tmax)
+    model, model_b = MPSolver2D(**kw), MPSolver2D(**kw)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(1), us, ps, pipe.uniform_nbr)
+    vb = model_b.init(jax.random.PRNGKey(2), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"], "model_b": vb["params"],
+              "itp": itp_params}
+    stats = {"model": v["batch_stats"], "model_b": vb["batch_stats"]}
+    # SGD, not AdamW: the first AdamW step is ~lr*sign(grad), which
+    # amplifies float-reassociation noise in the fused reductions to O(lr);
+    # under SGD the param delta is linear in the gradient difference
+    opt = optax.sgd(1e-3)
+
+    def fresh():
+        return T.TrainState(params=params, batch_stats=stats,
+                            opt_state=opt.init(params),
+                            step=jnp.zeros((), jnp.int32))
+
+    steps = jnp.asarray([3, 5])
+    monkeypatch.delenv("MMPDE_FUSED_BRANCHES", raising=False)
+    monkeypatch.delenv("MMPDE_FUSED_ITP", raising=False)
+    step_ref = T.make_gnn_step(pipe, model, opt, model_b, itp, dmm, dmm_vars)
+    s1, l1 = step_ref(fresh(), jnp.asarray(u[:2]), steps)
+
+    for f in flags:
+        monkeypatch.setenv(f, "1")
+    step_fused = T.make_gnn_step(pipe, model, opt, model_b, itp, dmm,
+                                 dmm_vars)
+    s2, l2 = step_fused(fresh(), jnp.asarray(u[:2]), steps)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_moved_graph_radius_edges_vs_dense_oracle(tiny_setup):
     """connect_edge='radius' must apply to the MOVED graph too (reference
     data_creator_2d.py:256-260 builds the requested edge type for both
