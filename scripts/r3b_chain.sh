@@ -67,15 +67,22 @@ fi
 echo "[$(stamp)] r3 chain done — starting r3b"
 
 # ---- stage A: flagship MM-PDE pushforward retry ----
+# attempt order: scan (the default path), fused (MMPDE_FUSED_BRANCHES +
+# MMPDE_FUSED_ITP halve the per-step op count — a smaller program for the
+# remote compiler that crashed twice on the plain one; exact rewrites,
+# equivalence-tested), perbatch (no scan wrapper at all)
 MM_CKPT=""
-for attempt in scan perbatch; do
+for attempt in scan fused perbatch; do
     have_time 2400 || break
     [ -n "$MM_CKPT" ] && break
     extra=""
+    envs=()
     [ "$attempt" = perbatch ] && extra="--scan_epoch False"
+    [ "$attempt" = fused ] && envs=(MMPDE_FUSED_BRANCHES=1 MMPDE_FUSED_ITP=1)
     log="logs/r3b_mmpde_push_${attempt}.log"
     echo "[$(stamp)] === stage A ($attempt): MM-PDE Burgers 50 epochs pushforward ==="
-    timeout "$(tbudget 9000)" python -u mmpde.py --lr 6e-4 --num_epochs 50 \
+    timeout "$(tbudget 7800)" env "${envs[@]}" python -u mmpde.py --lr 6e-4 \
+        --num_epochs 50 \
         --unrolling 1 --pushforward True --residual_head True --n_traj 100 \
         $extra > "$log" 2>&1
     rc=$?
