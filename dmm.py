@@ -105,7 +105,30 @@ def get_args(argv=None):
                         help='trajectories to generate if dataset missing')
     parser.add_argument('--plot', default=True, type=eval,
                         help='render mesh plots after training')
+    parser.add_argument('--resume', default=False, type=eval,
+                        help='resume Adam training from the checkpoint dir '
+                             '(params + optimizer state; older checkpoints '
+                             'without opt_state restore params and '
+                             'fast-forward the LR schedule)')
     return parser.parse_args(argv)
+
+
+def _fast_forward_counts(opt_state, n):
+    """Set every ``count`` field in an optax state tree to ``n`` (resume
+    path for checkpoints that predate opt_state serialisation: Adam moments
+    restart at zero but the LR schedule continues where it left off)."""
+    import jax.numpy as jnp
+
+    if hasattr(opt_state, '_fields'):
+        vals = {}
+        for f in opt_state._fields:
+            v = getattr(opt_state, f)
+            vals[f] = (jnp.asarray(n, getattr(v, 'dtype', jnp.int32))
+                       if f == 'count' else _fast_forward_counts(v, n))
+        return opt_state._replace(**vals)
+    if isinstance(opt_state, tuple):
+        return tuple(_fast_forward_counts(x, n) for x in opt_state)
+    return opt_state
 
 
 def main(args):
@@ -192,6 +215,30 @@ def main(args):
 
     ckpt_path = args.checkpoint or f'{args.experiment}_checkpoint'
 
+    start_epoch = 1
+    test_equ_losses = []
+    if args.resume and os.path.exists(os.path.join(ckpt_path,
+                                                   'state.msgpack')):
+        import flax.serialization
+        from mmpde_tpu.utils import load_checkpoint
+        raw, ck_cfg = load_checkpoint(ckpt_path)
+        test_equ_losses = [float(x) for x in
+                           (ck_cfg or {}).get('test_equ_losses') or []]
+        start_epoch = len(test_equ_losses) + 1
+        params = flax.serialization.from_state_dict(params, raw['params'])
+        if raw.get('batch_stats'):
+            extra_vars['batch_stats'] = flax.serialization.from_state_dict(
+                extra_vars['batch_stats'], raw['batch_stats'])
+        if 'opt_state' in raw:
+            opt_state = flax.serialization.from_state_dict(
+                opt_state, raw['opt_state'])
+            how = 'params + opt_state'
+        else:
+            opt_state = _fast_forward_counts(
+                opt_state, (start_epoch - 1) * n_inner)
+            how = 'params only (LR schedule fast-forwarded)'
+        print(f'Resumed {ckpt_path} at epoch {start_epoch} ({how})')
+
     # per-epoch checkpoints via the native async writer (csrc/writer.cpp);
     # MMPDE_ASYNC_CKPT=0 or a build failure falls back to synchronous saves
     async_writer = None
@@ -216,8 +263,7 @@ def main(args):
 
     print(f'Train moving mesh operator: {n_inner} inner steps/epoch')
     from datetime import datetime as _dt
-    test_equ_losses = []
-    for epoch in range(1, args.epochs_adam + 1):
+    for epoch in range(start_epoch, args.epochs_adam + 1):
         t0 = _dt.now()
         for i in range(n_inner):
             key, sub = jax.random.split(key)
@@ -260,7 +306,8 @@ def main(args):
                        test_std=te[1], test_minmax=te[2])
 
         _save_ckpt({"params": params,
-                    "batch_stats": extra_vars.get("batch_stats", {})},
+                    "batch_stats": extra_vars.get("batch_stats", {}),
+                    "opt_state": opt_state},
                    config={"arch": arch, "args": vars(args),
                            "test_equ_losses": test_equ_losses})
 
@@ -289,7 +336,8 @@ def main(args):
             logs_txt.append(f'rf epoch {i}: loss {rf_l:.6f}')
 
     _save_ckpt({"params": params,
-                "batch_stats": extra_vars.get("batch_stats", {})},
+                "batch_stats": extra_vars.get("batch_stats", {}),
+                "opt_state": opt_state},
                config={"arch": arch, "args": vars(args),
                        "test_equ_losses": test_equ_losses}, final=True)
     print(ckpt_path)

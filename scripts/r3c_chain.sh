@@ -49,7 +49,7 @@ if have_time 3000; then
     echo "[$(stamp)] === r3c stage 1: DMM Burgers 150 Adam + 2 RF ==="
     timeout "$(tbudget 8400)" python -u dmm.py --epochs_adam 150 \
         --epochs_rf 2 --eval_every 25 --n_traj 100 --plot True \
-        > logs/r3c_dmm_burgers.log 2>&1
+        --resume True > logs/r3c_dmm_burgers.log 2>&1
     echo "[$(stamp)] r3c stage 1 rc=$? ($(grep -c '^Epoch' logs/r3c_dmm_burgers.log) epochs)"
     grep "Test equ loss" logs/r3c_dmm_burgers.log | tail -1
     if [ "$(grep -c '^Epoch' logs/r3c_dmm_burgers.log)" -gt 29 ]; then

@@ -90,6 +90,21 @@ def test_dmm_cli_then_mmpde_full_tiny(tiny_data_root, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isdir(str(tmp_path / "burgers_checkpoint"))
 
+    # resume: epoch 1 is already in the checkpoint, so --epochs_adam 2
+    # must continue at epoch 2 with params + optimizer state restored
+    rr = _run([os.path.join(REPO, "dmm.py"),
+               "--epochs_adam", "2", "--epochs_rf", "0", "--rf", "False",
+               "--resume", "True",
+               "--train_sample_grid", "1", "--batch_size_x_adam", "8",
+               "--batch_size_u_adam", "4", "--sub_u", "8", "--n_traj", "6",
+               "--eval_every", "0", "--plot", "False",
+               "--data_root", tiny_data_root,
+               "--checkpoint", str(tmp_path / "burgers_checkpoint")],
+              cwd=str(tmp_path))
+    assert rr.returncode == 0, rr.stderr[-2000:]
+    assert "Resumed" in rr.stdout and "epoch 2" in rr.stdout
+    assert "Epoch: 1 |" not in rr.stdout  # epoch 1 is not re-run
+
     r2 = _run([os.path.join(REPO, "mmpde.py"),
                "--base_resolution", "9,12,12", "--num_epochs", "1",
                "--inner_loops", "1", "--batch_size", "3", "--n_traj", "6",
