@@ -278,7 +278,11 @@ def main(args):
     # P('dp') sharding constraint, so multi-chip training keeps the
     # one-dispatch-per-epoch path (GSPMD shards the step and inserts the
     # gradient psum; state and u_all stay replicated).
-    use_scan = bool(args.scan_epoch) and not use_native
+    # MMPDE_STATIC_PUSH=1 (statically-unrolled pushforward, one program per
+    # unrolled value) is per-batch only: a scan epoch needs one program
+    use_scan = (bool(args.scan_epoch) and not use_native
+                and not (args.pushforward
+                         and os.environ.get('MMPDE_STATIC_PUSH') == '1'))
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,

@@ -235,10 +235,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
         return eval_step
 
     if pushforward:
-        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-        def train_step(state: TrainState, u_traj, steps, unrolled):
-            data, labels = pipe.create_data(u_traj, steps)
-
+        def _make_one_push(state, labels):
             def one_push(_, carry):
                 # one no-grad own-prediction step: the next window's input
                 # is what the model would actually see during rollout
@@ -248,6 +245,40 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                 d1 = jnp.swapaxes(pred0, 1, 2).reshape(d.shape)
                 return jax.lax.stop_gradient(d1), s + pipe.tw
 
+            return one_push
+
+        if os.environ.get("MMPDE_STATIC_PUSH") == "1":
+            # statically-unrolled variant: one compiled program per
+            # ``unrolled`` value (0..max_unrolling, drawn per inner loop),
+            # NO dynamic fori_loop in the program — an escape hatch for
+            # TPU-runtime faults in the dynamic-trip-count path.  Only the
+            # per-batch driver can use it (a scan epoch needs one program).
+            @functools.partial(jax.jit, static_argnums=(3,),
+                               donate_argnums=(0,) if donate else ())
+            def train_step(state: TrainState, u_traj, steps, unrolled):
+                data, labels = pipe.create_data(u_traj, steps)
+                one_push = _make_one_push(state, labels)
+                carry = (data, steps)
+                for _ in range(int(unrolled)):
+                    carry = one_push(None, carry)
+                data_e, steps_e = carry
+                _, labels_e = pipe.create_data(u_traj, steps_e)
+                (loss, new_stats), grads = jax.value_and_grad(
+                    forward, has_aux=True)(state.params, state.batch_stats,
+                                           data_e, labels_e, steps_e, True)
+                updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                      state.params)
+                params = optax.apply_updates(state.params, updates)
+                return state.replace(params=params, batch_stats=new_stats,
+                                     opt_state=opt_state,
+                                     step=state.step + 1), loss
+
+            return train_step
+
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def train_step(state: TrainState, u_traj, steps, unrolled):
+            data, labels = pipe.create_data(u_traj, steps)
+            one_push = _make_one_push(state, labels)
             # dynamic trip count: unrolled == 0 -> no pushforward at all
             data_e, steps_e = jax.lax.fori_loop(
                 0, unrolled, one_push, (data, steps))
@@ -369,14 +400,19 @@ def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
     the sampling range."""
     losses = []
     n_inner = pipe.t_res if n_inner is None else n_inner
+    static_push = os.environ.get("MMPDE_STATIC_PUSH") == "1"
     for _ in range(n_inner):
         unrolled = int(rng.integers(0, max_unrolling + 1))
         for batch in iterate_batches(rng, u_train, batch_size):
             steps = random_start_steps(rng, pipe, unrolled, len(batch))
             if pushforward:
+                # the static-push step takes ``unrolled`` as a static arg
+                # (one compiled program per value); the dynamic step takes
+                # it traced so one program serves every value
                 state, loss = step_fn(state, jnp.asarray(batch),
                                       jnp.asarray(steps),
-                                      jnp.asarray(unrolled))
+                                      unrolled if static_push
+                                      else jnp.asarray(unrolled))
             else:
                 state, loss = step_fn(state, jnp.asarray(batch),
                                       jnp.asarray(steps))

@@ -72,13 +72,18 @@ echo "[$(stamp)] r3 chain done — starting r3b"
 # remote compiler that crashed twice on the plain one; exact rewrites,
 # equivalence-tested), perbatch (no scan wrapper at all)
 MM_CKPT=""
-for attempt in scan fused perbatch; do
+for attempt in scan fused perbatch staticpush; do
     have_time 2400 || break
     [ -n "$MM_CKPT" ] && break
     extra=""
     envs=()
     [ "$attempt" = perbatch ] && extra="--scan_epoch False"
     [ "$attempt" = fused ] && envs=(MMPDE_FUSED_BRANCHES=1 MMPDE_FUSED_ITP=1)
+    # staticpush: no dynamic fori_loop anywhere in the program (per-batch,
+    # one compiled program per unrolled value) — last-resort escape hatch
+    # for TPU-runtime faults in the dynamic-trip-count path
+    [ "$attempt" = staticpush ] && { extra="--scan_epoch False"
+                                     envs=(MMPDE_STATIC_PUSH=1); }
     log="logs/r3b_mmpde_push_${attempt}.log"
     echo "[$(stamp)] === stage A ($attempt): MM-PDE Burgers 50 epochs pushforward ==="
     timeout "$(tbudget 7800)" env "${envs[@]}" python -u mmpde.py --lr 6e-4 \

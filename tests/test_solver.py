@@ -377,6 +377,45 @@ def test_pushforward_step(tiny_setup):
     assert np.isfinite(loss)
 
 
+def test_static_pushforward_matches_dynamic(tiny_setup, monkeypatch):
+    """MMPDE_STATIC_PUSH=1 (statically-unrolled pushforward, one program
+    per unrolled value, no dynamic fori_loop) must produce the same losses
+    as the dynamic-trip-count step, and train_epoch must drive it."""
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=2,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    opt = optax.sgd(1e-3)
+
+    def fresh_state():
+        params = {"model": v["params"]}
+        stats = {"model": v["batch_stats"]}
+        return T.TrainState(params=params, batch_stats=stats,
+                            opt_state=opt.init(params),
+                            step=jnp.zeros((), jnp.int32))
+
+    monkeypatch.delenv("MMPDE_STATIC_PUSH", raising=False)
+    dyn = T.make_gnn_step(pipe, model, opt, train=True, pushforward=True)
+    monkeypatch.setenv("MMPDE_STATIC_PUSH", "1")
+    sta = T.make_gnn_step(pipe, model, opt, train=True, pushforward=True)
+
+    batch = jnp.asarray(u[:4])
+    steps = jnp.asarray([3, 5, 7, 8])
+    for k in (0, 1, 2):
+        stp = steps if k < 2 else jnp.asarray([2, 3, 4, 5])
+        _, l_dyn = dyn(fresh_state(), batch, stp, jnp.asarray(k))
+        _, l_sta = sta(fresh_state(), batch, stp, k)
+        np.testing.assert_allclose(float(l_dyn), float(l_sta), rtol=1e-6)
+
+    # train_epoch passes the static arg as a python int under the env flag
+    rng = np.random.default_rng(0)
+    state, loss = T.train_epoch(rng, pipe, sta, fresh_state(), u[:4], 4,
+                                max_unrolling=1, n_inner=2, pushforward=True)
+    assert np.isfinite(loss)
+
+
 def test_cy_moving_rollout_runs():
     """Full moving-mesh rollout on a tiny cylinder (tri) pipeline — the
     exact wiring scripts/eval_rollout.py uses for --experiment cy: graph-
