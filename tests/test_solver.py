@@ -193,6 +193,20 @@ def test_fused_paths_match_unfused(tiny_setup, monkeypatch, flags):
                     jax.tree_util.tree_leaves(s2.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    # the fused paths must also hold inside the pushforward step (the
+    # moving + pushforward + fused combination is the r3b retry config)
+    for f in flags:
+        monkeypatch.delenv(f, raising=False)
+    push_ref = T.make_gnn_step(pipe, model, opt, model_b, itp, dmm,
+                               dmm_vars, pushforward=True)
+    _, pl1 = push_ref(fresh(), jnp.asarray(u[:2]), steps, jnp.asarray(1))
+    for f in flags:
+        monkeypatch.setenv(f, "1")
+    push_fused = T.make_gnn_step(pipe, model, opt, model_b, itp, dmm,
+                                 dmm_vars, pushforward=True)
+    _, pl2 = push_fused(fresh(), jnp.asarray(u[:2]), steps, jnp.asarray(1))
+    np.testing.assert_allclose(float(pl2), float(pl1), rtol=1e-5)
+
 
 def test_moved_graph_radius_edges_vs_dense_oracle(tiny_setup):
     """connect_edge='radius' must apply to the MOVED graph too (reference
