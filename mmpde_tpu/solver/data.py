@@ -104,6 +104,13 @@ class GraphPipeline:
         return self._cand_cache[c]
 
     @staticmethod
+    def _itp_bf16() -> bool:
+        """MMPDE_BF16_ITP=1: interpolation einsums compute in bfloat16 with
+        f32 accumulation (opt-in until convergence-validated on chip, like
+        the MMPDE_BF16 edge-compute path before it)."""
+        return os.environ.get("MMPDE_BF16_ITP", "0") == "1"
+
+    @staticmethod
     def _local_knn_cand() -> int:
         """0 = disabled; else the candidate count (MMPDE_LOCAL_KNN=1 with
         optional MMPDE_LOCAL_KNN_CAND, default 192)."""
@@ -232,6 +239,10 @@ class GraphPipeline:
             nbr_pts = jax.vmap(lambda s, i: s[i])(src_pts, nbr)  # [B,Q,k,2]
             w = itp.apply(itp_vars, nbr_pts, query_pts[:, :, None, :], mode)
         nbr_val = jax.vmap(lambda v, i: v[i])(values, nbr)      # [B, Q, k, C]
+        if self._itp_bf16():
+            return jnp.einsum("bqk,bqkc->bqc", w.astype(jnp.bfloat16),
+                              nbr_val.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
         return jnp.einsum("bqk,bqkc->bqc", w, nbr_val)
 
     def itp_geometry(self, itp: ItpNet, itp_vars, mesh):
@@ -261,12 +272,19 @@ class GraphPipeline:
         x = jnp.stack([x1, x2]).reshape(2, b, mesh.shape[1], -1)
         params = itp_vars["params"]
         n_layers = len(itp.layers1) + 1
+        bf16 = self._itp_bf16()
         for j in range(n_layers):
             kern = jnp.stack([params[f"w1_{j}"]["kernel"],
                               params[f"w2_{j}"]["kernel"]])
             bias = jnp.stack([params[f"w1_{j}"]["bias"],
                               params[f"w2_{j}"]["bias"]])
-            x = jnp.einsum("sbqd,sde->sbqe", x, kern) + bias[:, None, None]
+            if bf16:
+                x = jnp.einsum("sbqd,sde->sbqe", x.astype(jnp.bfloat16),
+                               kern.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                x = x + bias[:, None, None]
+            else:
+                x = jnp.einsum("sbqd,sde->sbqe", x, kern) + bias[:, None, None]
             if j != n_layers - 1:
                 x = jnp.tanh(x)
         return (nbr1, x[0]), (nbr2, x[1])

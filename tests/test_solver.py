@@ -208,6 +208,44 @@ def test_fused_paths_match_unfused(tiny_setup, monkeypatch, flags):
     np.testing.assert_allclose(float(pl2), float(pl1), rtol=1e-5)
 
 
+def test_bf16_itp_close_to_f32(tiny_setup, monkeypatch):
+    """MMPDE_BF16_ITP=1 (bf16 interpolation einsums, f32 accumulation) must
+    track the f32 path to bf16 rounding accuracy in both the fused geometry
+    weights and the final weight-value contraction."""
+    pde, pipe, u = tiny_setup
+    key = jax.random.PRNGKey(0)
+    itp = ItpNet(ori_nx=NX, ori_ny=NX, layers1=(16,), layers2=(16,),
+                 res_cut_node=(1, 2, 1))
+    nbq, qq = jnp.ones((1, 2, 30, 2)), jnp.ones((1, 2, 1, 2))
+    itp_vars = {"params": {
+        **itp.init(key, nbq, qq, "1")["params"],
+        **itp.init(key, nbq, qq, "2")["params"],
+        **itp.init(key, None, None, "res_cut",
+                   jnp.ones((1, 1, NX, NX)))["params"]}}
+    b = 2
+    mesh = (jnp.broadcast_to(pipe.grid[None], (b,) + pipe.grid.shape)
+            + 0.01 * jax.random.normal(key, (b,) + pipe.grid.shape))
+    vals = jax.random.normal(jax.random.PRNGKey(1), (b, pipe.n_nodes, 2))
+    src = jnp.broadcast_to(pipe.grid[None], (b,) + pipe.grid.shape)
+
+    monkeypatch.delenv("MMPDE_BF16_ITP", raising=False)
+    (n1, w1), (n2, w2) = pipe.itp_geometry(itp, itp_vars, mesh)
+    out = pipe.itp_interpolate(itp, itp_vars, vals, src, mesh, "1",
+                               uniform_src=True, aligned=True)
+
+    monkeypatch.setenv("MMPDE_BF16_ITP", "1")
+    (n1b, w1b), (n2b, w2b) = pipe.itp_geometry(itp, itp_vars, mesh)
+    outb = pipe.itp_interpolate(itp, itp_vars, vals, src, mesh, "1",
+                                uniform_src=True, aligned=True)
+
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n1b))
+    np.testing.assert_array_equal(np.asarray(n2), np.asarray(n2b))
+    assert outb.dtype == out.dtype == jnp.float32
+    for a, c in ((w1, w1b), (w2, w2b), (out, outb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=5e-2, rtol=5e-2)
+
+
 def test_moved_graph_radius_edges_vs_dense_oracle(tiny_setup):
     """connect_edge='radius' must apply to the MOVED graph too (reference
     data_creator_2d.py:256-260 builds the requested edge type for both
