@@ -289,7 +289,8 @@ def main(args):
                                   train=True, window_input=use_native,
                                   donate=not use_scan,
                                   residual_head=args.residual_head,
-                                  pushforward=args.pushforward)
+                                  pushforward=args.pushforward,
+                                  max_unrolling=args.unrolling)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
                                   train=False,

@@ -80,7 +80,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   dmm_grid=None, dmm_nbr=None, train: bool = True,
                   window_input: bool = False, node_sharding=None,
                   donate: bool = False, residual_head: bool = False,
-                  pushforward: bool = False):
+                  pushforward: bool = False, max_unrolling: int = 1):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
@@ -279,9 +279,18 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
         def train_step(state: TrainState, u_traj, steps, unrolled):
             data, labels = pipe.create_data(u_traj, steps)
             one_push = _make_one_push(state, labels)
-            # dynamic trip count: unrolled == 0 -> no pushforward at all
-            data_e, steps_e = jax.lax.fori_loop(
-                0, unrolled, one_push, (data, steps))
+            # statically-bounded masked unroll: ``unrolled`` <= max_unrolling
+            # always (the epoch drivers draw it from [0, max_unrolling]), so
+            # one lax.cond per potential push step serves every value with
+            # ONE compiled program and NO dynamic-trip-count while loop —
+            # the fori_loop lowering this replaces faulted the TPU runtime
+            # twice in round 3 (scan-epoch pushforward program, r3 stage 2)
+            carry = (data, steps)
+            for i in range(max_unrolling):
+                carry = jax.lax.cond(i < unrolled,
+                                     lambda c: one_push(None, c),
+                                     lambda c: c, carry)
+            data_e, steps_e = carry
             _, labels_e = pipe.create_data(u_traj, steps_e)
             (loss, new_stats), grads = jax.value_and_grad(
                 forward, has_aux=True)(state.params, state.batch_stats,
