@@ -49,3 +49,25 @@ def setup_compilation_cache(cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # older jax without these flags
+    _seed_from_committed(cache_dir)
+
+
+def _seed_from_committed(cache_dir: str):
+    """Copy committed compile-cache entries (.jax_cache_seed/, populated at
+    the end of a round from the big training programs) into the active
+    persistent cache, so a freshly-wiped VM skips the 25-60 min cold remote
+    compile of the fused training step.  Same mechanism bench.py uses with
+    its own .jax_cache_bench seed."""
+    import shutil
+    seed = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache_seed")
+    if not os.path.isdir(seed):
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    for name in os.listdir(seed):
+        dst = os.path.join(cache_dir, name)
+        if not os.path.exists(dst):
+            try:
+                shutil.copy2(os.path.join(seed, name), dst)
+            except OSError:
+                pass
