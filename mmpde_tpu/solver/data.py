@@ -118,6 +118,14 @@ class GraphPipeline:
             return 0
         return int(os.environ.get("MMPDE_LOCAL_KNN_CAND", "192"))
 
+    @staticmethod
+    def _use_bucket_knn() -> bool:
+        """MMPDE_BUCKET_KNN=1: grid-bucketed spatial-hash kNN for the
+        moved-mesh searches (ops/bucket_knn.py) — no O(N^2) anywhere, incl.
+        the one-time candidate-table build the locality path needs; the
+        scalable choice for 100k+-node meshes."""
+        return os.environ.get("MMPDE_BUCKET_KNN", "0") == "1"
+
     # ---------------- data windows ----------------
 
     def create_data(self, u_traj: jnp.ndarray, steps: jnp.ndarray):
@@ -209,6 +217,9 @@ class GraphPipeline:
             n_side = self.pde.grid_size[1]
             return jax.vmap(lambda q: knn_query_uniform_grid(
                 n_side, q, k))(query_pts)                       # [B, Q, k]
+        if self._use_bucket_knn():
+            return jax.vmap(lambda src, q: ops.bucket_knn(src, q, k))(
+                src_pts, query_pts)                             # [B, Q, k]
         if (aligned and c_cand and
                 query_pts.shape[1] == self.n_nodes and
                 src_pts.shape[1] == self.n_nodes):
@@ -324,6 +335,11 @@ class GraphPipeline:
             nbr, nbr_mask = jax.vmap(
                 lambda p: ops.radius_neighbors(p, self.radius,
                                                max_k=self.max_radius_k))(mesh)
+        elif self._use_bucket_knn():
+            self_idx = jnp.arange(self.n_nodes, dtype=jnp.int32)
+            nbr = jax.vmap(lambda p: ops.bucket_knn(
+                p, p, self.n, exclude_idx=self_idx))(mesh)
+            nbr_mask = None
         elif c_cand:
             # both endpoints move with the mesh, so node i's moved kNN stays
             # inside its static C-neighborhood (C bounded by the mesh's
