@@ -449,7 +449,10 @@ def test_static_pushforward_matches_dynamic(tiny_setup, monkeypatch):
                             step=jnp.zeros((), jnp.int32))
 
     monkeypatch.delenv("MMPDE_STATIC_PUSH", raising=False)
-    dyn = T.make_gnn_step(pipe, model, opt, train=True, pushforward=True)
+    # max_unrolling bounds the masked-cond unroll; the drivers draw
+    # unrolled <= max_unrolling, and so does this test (k up to 2)
+    dyn = T.make_gnn_step(pipe, model, opt, train=True, pushforward=True,
+                          max_unrolling=2)
     monkeypatch.setenv("MMPDE_STATIC_PUSH", "1")
     sta = T.make_gnn_step(pipe, model, opt, train=True, pushforward=True)
 
