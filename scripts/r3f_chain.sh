@@ -74,7 +74,9 @@ if [ -n "$MM_CKPT" ]; then
     echo "[$(stamp)] flagship ckpt $MM_CKPT at epoch $ep"
     if [ "$ep" -lt 49 ] && have_time 1800; then
         echo "[$(stamp)] === stage 1: resume flagship to 50 epochs ==="
-        timeout "$(tbudget 6000)" python -u mmpde.py --lr 6e-4 \
+        # leave >= 1500s of the window for the rollout eval + commit
+        rb=$(( $(remain) - 1500 )); [ "$rb" -gt 60 ] || rb=60
+        timeout "$(tbudget $rb)" python -u mmpde.py --lr 6e-4 \
             --num_epochs 50 --unrolling 1 --pushforward True \
             --residual_head True --n_traj 100 --scan_epoch False \
             --resume "$MM_CKPT" > logs/r3f_mmpde_push_resume.log 2>&1
