@@ -118,13 +118,16 @@ class GraphPipeline:
             return 0
         return int(os.environ.get("MMPDE_LOCAL_KNN_CAND", "192"))
 
-    @staticmethod
-    def _use_bucket_knn() -> bool:
-        """MMPDE_BUCKET_KNN=1: grid-bucketed spatial-hash kNN for the
-        moved-mesh searches (ops/bucket_knn.py) — no O(N^2) anywhere, incl.
-        the one-time candidate-table build the locality path needs; the
-        scalable choice for 100k+-node meshes."""
-        return os.environ.get("MMPDE_BUCKET_KNN", "0") == "1"
+    def _use_bucket_knn(self) -> bool:
+        """Grid-bucketed spatial-hash kNN for the moved-mesh searches
+        (ops/bucket_knn.py) — no O(N^2) anywhere, incl. the one-time
+        candidate-table build the locality path needs.  MMPDE_BUCKET_KNN=1
+        forces it on, =0 forces it off; unset, it auto-enables above 16k
+        nodes, where any dense pass (or table build) stops being viable."""
+        v = os.environ.get("MMPDE_BUCKET_KNN")
+        if v is not None:
+            return v == "1"
+        return self.n_nodes > 16384
 
     # ---------------- data windows ----------------
 
@@ -218,8 +221,9 @@ class GraphPipeline:
             return jax.vmap(lambda q: knn_query_uniform_grid(
                 n_side, q, k))(query_pts)                       # [B, Q, k]
         if self._use_bucket_knn():
-            return jax.vmap(lambda src, q: ops.bucket_knn(src, q, k))(
-                src_pts, query_pts)                             # [B, Q, k]
+            hi = float(max(self.pde.Lx, self.pde.Ly))
+            return jax.vmap(lambda src, q: ops.bucket_knn(
+                src, q, k, hi=hi))(src_pts, query_pts)          # [B, Q, k]
         if (aligned and c_cand and
                 query_pts.shape[1] == self.n_nodes and
                 src_pts.shape[1] == self.n_nodes):
@@ -337,8 +341,9 @@ class GraphPipeline:
                                                max_k=self.max_radius_k))(mesh)
         elif self._use_bucket_knn():
             self_idx = jnp.arange(self.n_nodes, dtype=jnp.int32)
+            hi = float(max(self.pde.Lx, self.pde.Ly))
             nbr = jax.vmap(lambda p: ops.bucket_knn(
-                p, p, self.n, exclude_idx=self_idx))(mesh)
+                p, p, self.n, hi=hi, exclude_idx=self_idx))(mesh)
             nbr_mask = None
         elif c_cand:
             # both endpoints move with the mesh, so node i's moved kNN stays
