@@ -191,9 +191,10 @@ def measure_scan(n_steps=64):
         return (jnp.asarray(idx, jnp.int32), jnp.asarray(stp, jnp.int32),
                 jnp.zeros((S,), jnp.int32))
 
+    # XLA's cost_analysis counts a lax.scan body ONCE (not x trip count), so
+    # the epoch program's FLOP estimate already approximates ONE step's
+    # FLOPs — do not divide by S (BENCH_r03 was 32x under from doing so).
     flops = _flops_of(epoch_fn, state, *schedule(0))
-    if flops:
-        flops /= S
     state, losses = epoch_fn(state, *schedule(0))   # compile + warmup
     jax.block_until_ready(losses)
     reps = max(1, n_steps // S) * 2
@@ -264,7 +265,11 @@ def main():
     scan = _try_scan_subprocess()
     path = "per-step"
     if scan is not None and scan[0] < sec:
-        sec, flops = scan[0], (scan[1] or flops)
+        # keep the per-step program's FLOPs: it is the authoritative
+        # one-step estimate (the scan program's is the same body, but the
+        # per-step one was measured on the definitive program)
+        sec = scan[0]
+        flops = flops or scan[1]
         path = "scan-epoch"
     print(f"[bench] best path: {path}", file=sys.stderr)
 

@@ -330,7 +330,8 @@ def main(args):
             params, rf_l = DT.rf_refit(model, dict(extra_vars, params=params),
                                        cfg, loss_cfg, sub, u, mesh=mesh,
                                        grid=grid, nbr=nbr,
-                                       alg=args.rf_opt_alg)
+                                       alg=args.rf_opt_alg,
+                                       include_bound=args.loss_bound_rf)
             print('time per epoch of random feature method: ', _dt.now() - t0)
             print(f'rf loss: {rf_l:.6f}')
             logs_txt.append(f'rf epoch {i}: loss {rf_l:.6f}')

@@ -156,9 +156,13 @@ def _rf_batch_features(model: DMM, variables, cfg: DMMTrainConfig,
 
 
 def rf_loss(w, rf_feats, interior: S.InteriorBatch, cfg: DMMTrainConfig,
-            loss_cfg: MALossConfig):
+            loss_cfg: MALossConfig, include_bound: bool = True):
     """Reference random_feature_torch2 (mesh/dmm_utils.py:351-388): the MA
-    objective expressed linearly in the final-layer weight w [F]."""
+    objective expressed linearly in the final-layer weight w [F].
+
+    ``include_bound`` mirrors the reference's ``loss_bound_rf`` flag: when
+    False the boundary normal-derivative term is dropped from the RF
+    objective (mesh/dmm.py --loss_bound_rf)."""
     (s_in, ds_in, d2s_in), edge = rf_feats
 
     def project(t):  # contract feature axis with w
@@ -187,9 +191,11 @@ def rf_loss(w, rf_feats, interior: S.InteriorBatch, cfg: DMMTrainConfig,
     loss_convex = jnp.mean(jnp.minimum(0.0, 1 + pxx) ** 2 +
                            jnp.minimum(0.0, 1 + pyy) ** 2)
     reg = cfg.convex_rel * jnp.sum(w ** 2) ** 2
-    return (reg + loss_cfg.loss_weight1 * loss_bound +
-            loss_cfg.loss_weight0 * loss_in +
-            loss_cfg.loss_weight2 * loss_convex)
+    total = (reg + loss_cfg.loss_weight0 * loss_in +
+             loss_cfg.loss_weight2 * loss_convex)
+    if include_bound:
+        total = total + loss_cfg.loss_weight1 * loss_bound
+    return total
 
 
 def _make_newton_cg_solver(fn, n_newton: int, cg_iters: int = 32):
@@ -253,7 +259,8 @@ def _make_newton_cg_solver(fn, n_newton: int, cg_iters: int = 32):
 
 def rf_refit(model: DMM, variables, cfg: DMMTrainConfig,
              loss_cfg: MALossConfig, key, all_u, mesh=None,
-             grid=None, nbr=None, alg: str = "BFGS"):
+             grid=None, nbr=None, alg: str = "BFGS",
+             include_bound: bool = True):
     """One RF epoch: sample, extract features, solve for the final weight
     with L-BFGS (alg='BFGS') or Newton-CG (alg='Newton'), mirroring the
     reference's torchmin BFGS/Newton-CG choice (mesh/dmm_utils.py:935-944).
@@ -270,7 +277,8 @@ def rf_refit(model: DMM, variables, cfg: DMMTrainConfig,
     last = sorted(k for k in out_layers if k.startswith("dense_"))[-1]
     w0 = out_layers[last]["kernel"][:, 0]            # [F]
 
-    fn = lambda w: rf_loss(w, rf_feats, interior, cfg, loss_cfg)  # noqa: E731
+    fn = lambda w: rf_loss(w, rf_feats, interior, cfg, loss_cfg,  # noqa: E731
+                           include_bound=include_bound)
 
     if alg.lower().startswith("newton"):
         # each Newton iteration costs ~cg_iters HVPs; scale the outer count

@@ -106,4 +106,11 @@ def bucket_knn(points: jnp.ndarray, query: jnp.ndarray, k: int,
     if exclude_idx is not None:
         d = jnp.where(cand == exclude_idx[:, None], jnp.inf, d)
     _, sel = jax.lax.top_k(-d, k)
-    return jnp.take_along_axis(cand, sel, axis=1).astype(jnp.int32)
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    # If a query's cell window held fewer than k valid candidates (empty
+    # cells / capacity truncation), top_k selects +inf padding whose index
+    # is -1, which would silently wrap to points[-1] in downstream gathers.
+    # Fall back to that query's nearest valid neighbor (top_k sorts by
+    # ascending distance, so column 0 is valid whenever any candidate is).
+    idx = jnp.where(idx < 0, jnp.maximum(idx[:, :1], 0), idx)
+    return idx.astype(jnp.int32)

@@ -21,7 +21,11 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:                                  # jax >= 0.4.35: public API
+    from jax import shard_map
+except ImportError:                   # older jax: experimental home
+    from jax.experimental.shard_map import shard_map
 
 
 def sharded_gather_nodes(mesh: Mesh, x: jnp.ndarray, nbr: jnp.ndarray,

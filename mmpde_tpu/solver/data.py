@@ -21,6 +21,7 @@ stop_gradient.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional
 
 import jax
@@ -127,7 +128,16 @@ class GraphPipeline:
         v = os.environ.get("MMPDE_BUCKET_KNN")
         if v is not None:
             return v == "1"
-        return self.n_nodes > 16384
+        on = self.n_nodes > 16384
+        if on and not getattr(self, "_bucket_knn_logged", False):
+            # auto-enabling swaps the exact dense search for the bucketed
+            # one (recall envelope in ops/bucket_knn.py; DIVERGENCES 34) —
+            # make the numerics switch traceable in run logs
+            print("[mmpde] N > 16384: auto-enabling grid-bucketed kNN "
+                  "(MMPDE_BUCKET_KNN=0 forces the dense search)",
+                  file=sys.stderr)
+            self._bucket_knn_logged = True
+        return on
 
     # ---------------- data windows ----------------
 
@@ -222,8 +232,20 @@ class GraphPipeline:
                 n_side, q, k))(query_pts)                       # [B, Q, k]
         if self._use_bucket_knn():
             hi = float(max(self.pde.Lx, self.pde.Ly))
+            bkw = {}
+            frac = (float(self.pde.Lx) * float(self.pde.Ly)) / (hi * hi)
+            if frac < 0.999:
+                # rectangular domain: points occupy only a strip of the
+                # [0, hi]^2 hash square, raising per-occupied-cell density
+                # by 1/frac — scale capacity to match so strip cells don't
+                # capacity-truncate (ADVICE r3)
+                n = src_pts.shape[1]
+                n_side = max(2, int((2.0 * n / max(k, 1)) ** 0.5))
+                bkw["n_side"] = n_side
+                bkw["capacity"] = max(
+                    k, int(4 * n / (n_side * n_side * frac)) + 4)
             return jax.vmap(lambda src, q: ops.bucket_knn(
-                src, q, k, hi=hi))(src_pts, query_pts)          # [B, Q, k]
+                src, q, k, hi=hi, **bkw))(src_pts, query_pts)   # [B, Q, k]
         if (aligned and c_cand and
                 query_pts.shape[1] == self.n_nodes and
                 src_pts.shape[1] == self.n_nodes):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct
@@ -302,6 +303,13 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                                  opt_state=opt_state,
                                  step=state.step + 1), loss
 
+        try:
+            # advertise the static unroll bound so epoch drivers can detect
+            # a caller drawing unrolled > max_unrolling (the masked unroll
+            # would silently cap the pushforward depth otherwise)
+            train_step.max_unrolling = max_unrolling
+        except AttributeError:
+            pass
         return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -410,6 +418,13 @@ def train_epoch(rng, pipe, step_fn, state, u_train, batch_size,
     losses = []
     n_inner = pipe.t_res if n_inner is None else n_inner
     static_push = os.environ.get("MMPDE_STATIC_PUSH") == "1"
+    step_bound = getattr(step_fn, "max_unrolling", None)
+    if pushforward and step_bound is not None and max_unrolling > step_bound:
+        warnings.warn(
+            f"train_epoch max_unrolling={max_unrolling} exceeds the step "
+            f"function's static bound {step_bound}; clamping (rebuild the "
+            f"step with make_gnn_step(max_unrolling={max_unrolling}))")
+        max_unrolling = step_bound
     for _ in range(n_inner):
         unrolled = int(rng.integers(0, max_unrolling + 1))
         for batch in iterate_batches(rng, u_train, batch_size):
