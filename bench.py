@@ -157,11 +157,21 @@ def measure_step(n_steps=None):
     with timer:   # StepTimer isolates the first call as compile+warmup
         state, loss = step_fn(state, u_traj, steps_list[0])
         jax.block_until_ready(loss)
+    # --profile: capture a jax.profiler trace of the steady-state loop —
+    # the exact program behind the headline ms/step number (ROADMAP #8:
+    # find the time the component table does not account for)
+    prof_dir = None
+    if "--profile" in sys.argv:
+        prof_dir = os.path.join(REPO, "logs", "profile_bench")
+        jax.profiler.start_trace(prof_dir)
     # steady state: pipelined dispatch (block once), the training-loop shape
     with timer:
         for st in steps_list:
             state, loss = step_fn(state, u_traj, st)
         jax.block_until_ready(loss)
+    if prof_dir is not None:
+        jax.profiler.stop_trace()
+        print(f"[bench] profile trace in {prof_dir}", file=sys.stderr)
     sec = timer.steps_s[0] / n_steps
     print(f"[bench] per-step: compile+warmup {timer.compile_s:.1f}s, "
           f"{sec * 1e3:.1f} ms/step", file=sys.stderr)

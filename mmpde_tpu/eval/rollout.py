@@ -21,16 +21,26 @@ from mmpde_tpu.solver.data import GraphPipeline
 
 def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
                  dmm=None, dmm_vars=None, dmm_grid=None, dmm_nbr=None,
-                 residual_head: bool = False):
+                 residual_head: bool = False, mesh_damp: float = 0.0):
     """Returns rollout(state, u_init [B, tw, ...spatial], n_steps) ->
     predictions [B, n_steps, tw, ...spatial] on the uniform mesh.
 
     residual_head must match the flag the model was trained with
-    (make_gnn_step(residual_head=...))."""
+    (make_gnn_step(residual_head=...)).
+
+    mesh_damp in [0, 1]: eval-time mesh damping (DIVERGENCES.md) — the
+    DMM displacement is scaled by (1 - mesh_damp), interpolating the moved
+    mesh toward the uniform one.  Attenuates the autoregressive
+    mesh-feedback loop (worse field -> worse monitor -> worse mesh ->
+    worse interpolation); 0 is the reference-faithful forward.  The damp
+    value enters the jitted program as a traced operand, so every nonzero
+    damp shares ONE compiled program (a damp ladder costs one compile);
+    mesh_damp=0 keeps the original no-damp program (warm-cache hit)."""
     moving = model_b is not None
     tw = pipe.tw
+    use_damp = bool(mesh_damp)
 
-    def one_step(params, batch_stats, data, step_idx):
+    def one_step(params, batch_stats, data, step_idx, damp):
         steps = jnp.full((data.shape[0],), step_idx, dtype=jnp.int32)
         labels = data  # placeholder; labels unused in the forward
         u_u, _, _, pos_u = pipe.uniform_graph(data, labels, steps)
@@ -39,9 +49,13 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
             u_u, pos_u, pipe.uniform_nbr, False, pipe.uniform_mask)
         if moving:
             itp_vars = {"params": params["itp"]}
-            u_m, _, mesh, pos_m, nbr_m, mask_m = pipe.moved_graph(
-                dmm, dmm_vars, itp, itp_vars, data, labels, steps,
-                dmm_grid, dmm_nbr)
+            mesh = pipe.moved_mesh(dmm, dmm_vars, data, dmm_grid, dmm_nbr)
+            if use_damp:
+                uni = jnp.broadcast_to(pipe.grid[None],
+                                       mesh.shape).astype(mesh.dtype)
+                mesh = uni + (1.0 - damp) * (mesh - uni)
+            u_m, _, pos_m, nbr_m, mask_m = pipe.moved_graph_from_mesh(
+                itp, itp_vars, data, labels, steps, mesh)
             pred_b = model_b.apply(
                 {"params": params["model_b"],
                  "batch_stats": batch_stats["model_b"]},
@@ -56,13 +70,13 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def rollout(state, u_init, n_steps: int, start: int = None):
+    def _rollout_body(state, u_init, n_steps: int, start, damp):
         start_idx = tw if start is None else int(start)
 
         def body(carry, step_idx):
             data = carry
-            pred = one_step(state.params, state.batch_stats, data, step_idx)
+            pred = one_step(state.params, state.batch_stats, data, step_idx,
+                            damp)
             return pred, pred
 
         # time indices fed to the pos-t channel: the i-th prediction is for
@@ -71,6 +85,25 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
                         pipe.pde.grid_size[0] - 1)
         _, preds = jax.lax.scan(body, u_init, idxs)
         return jnp.moveaxis(preds, 0, 1)  # [B, n_steps, tw, ...]
+
+    if use_damp:
+        # damp as a TRACED operand: one compiled program serves every
+        # nonzero damp value (the persistent compile cache hashes the HLO,
+        # which is damp-value-independent here)
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def rollout_impl(state, u_init, n_steps: int, start, damp):
+            return _rollout_body(state, u_init, n_steps, start, damp)
+
+        damp_val = jnp.float32(mesh_damp)
+
+        def rollout(state, u_init, n_steps: int, start: int = None):
+            return rollout_impl(state, u_init, n_steps, start, damp_val)
+        return rollout
+
+    # no-damp: keep the exact original program signature (warm-cache hit)
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def rollout(state, u_init, n_steps: int, start: int = None):
+        return _rollout_body(state, u_init, n_steps, start, None)
 
     return rollout
 

@@ -30,6 +30,10 @@ def main():
     p.add_argument("--n_traj", type=int, default=None,
                    help="dataset size; default: the checkpoint's n_traj, so "
                         "the 80/20 split matches the one the run trained on")
+    p.add_argument("--mesh_damp", type=float, default=0.0,
+                   help="eval-time mesh damping in [0,1]: scale the DMM "
+                        "displacement by (1-damp) during rollout "
+                        "(DIVERGENCES.md; 0 = reference-faithful)")
     args = p.parse_args()
 
     # fail fast with a usable message: a missing/empty checkpoint argument
@@ -114,7 +118,8 @@ def main():
     rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
                               dmm_grid, dmm_nbr,
                               residual_head=bool(
-                                  ckpt_args.get("residual_head", False)))
+                                  ckpt_args.get("residual_head", False)),
+                              mesh_damp=args.mesh_damp)
     batch = min(args.batch, len(u_test))
     rels = []
     for i in range(0, len(u_test) - batch + 1, batch):
@@ -124,6 +129,7 @@ def main():
     result = {"metric": "rollout_relative_l2",
               "experiment": args.experiment,
               "moving_mesh": moving,
+              "mesh_damp": args.mesh_damp,
               "value": float(np.mean(rels)),
               "n_test": len(rels) * args.batch}
     print(json.dumps(result))

@@ -471,12 +471,9 @@ def test_static_pushforward_matches_dynamic(tiny_setup, monkeypatch):
     assert np.isfinite(loss)
 
 
-def test_cy_moving_rollout_runs():
-    """Full moving-mesh rollout on a tiny cylinder (tri) pipeline — the
-    exact wiring scripts/eval_rollout.py uses for --experiment cy: graph-
-    mode DMM mesh movement, mesh ItpNet (autoencoder res_cut), two-branch
-    forward, autoregressive scan."""
-    from mmpde_tpu.eval.rollout import make_rollout, evaluate_rollout
+def _tiny_cy_moving_setup():
+    """Tiny cylinder (tri) moving-mesh rollout wiring shared by the rollout
+    tests: graph-mode DMM, mesh ItpNet, two-branch MPSolver2D."""
     from mmpde_tpu.pdes import cy
     from mmpde_tpu import ops
 
@@ -514,6 +511,18 @@ def test_cy_moving_rollout_runs():
                 "itp": itp_params},
         batch_stats={"model": v["batch_stats"], "model_b": vb["batch_stats"]},
         opt_state=None, step=jnp.zeros((), jnp.int32))
+    return pipe, model, model_b, itp, dmm, dmm_vars, dmm_grid, dmm_nbr, \
+        state, u, n_nodes
+
+
+def test_cy_moving_rollout_runs():
+    """Full moving-mesh rollout on a tiny cylinder (tri) pipeline — the
+    exact wiring scripts/eval_rollout.py uses for --experiment cy: graph-
+    mode DMM mesh movement, mesh ItpNet (autoencoder res_cut), two-branch
+    forward, autoregressive scan."""
+    from mmpde_tpu.eval.rollout import make_rollout, evaluate_rollout
+    (pipe, model, model_b, itp, dmm, dmm_vars, dmm_grid, dmm_nbr,
+     state, u, n_nodes) = _tiny_cy_moving_setup()
 
     rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
                               dmm_grid, dmm_nbr, residual_head=True)
@@ -521,3 +530,37 @@ def test_cy_moving_rollout_runs():
     assert np.isfinite(rel) and rel >= 0.0
     preds = rollout_fn(state, jnp.asarray(u[:, 0:1]), 3)
     assert preds.shape == (2, 3, 1, n_nodes)
+
+
+def test_rollout_mesh_damp():
+    """Eval-time mesh damping: damp=1 must equal a rollout whose moved mesh
+    IS the uniform grid; damp=0 must equal the undamped rollout; a middle
+    damp must run finite and differ from both."""
+    from mmpde_tpu.eval.rollout import make_rollout
+    (pipe, model, model_b, itp, dmm, dmm_vars, dmm_grid, dmm_nbr,
+     state, u, n_nodes) = _tiny_cy_moving_setup()
+    u0 = jnp.asarray(u[:, 0:1])
+
+    def run(**kw):
+        fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
+                          dmm_grid, dmm_nbr, residual_head=True, **kw)
+        return np.asarray(fn(state, u0, 3))
+
+    p_base = run()
+    p_d0 = run(mesh_damp=0.0)
+    p_half = run(mesh_damp=0.5)
+    p_full = run(mesh_damp=1.0)
+
+    np.testing.assert_array_equal(p_d0, p_base)
+    # damp=1 == forcing the moved mesh to the uniform grid
+    orig = pipe.moved_mesh
+    try:
+        pipe.moved_mesh = lambda *a, **k: jnp.broadcast_to(
+            pipe.grid[None], (u0.shape[0],) + pipe.grid.shape)
+        p_uniform = run()
+    finally:
+        pipe.moved_mesh = orig
+    np.testing.assert_allclose(p_full, p_uniform, rtol=2e-5, atol=1e-6)
+    assert np.all(np.isfinite(p_half))
+    assert not np.array_equal(p_half, p_base)
+    assert not np.array_equal(p_half, p_full)
