@@ -21,7 +21,8 @@ from mmpde_tpu.solver.data import GraphPipeline
 
 def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
                  dmm=None, dmm_vars=None, dmm_grid=None, dmm_nbr=None,
-                 residual_head: bool = False, mesh_damp: float = 0.0):
+                 residual_head: bool = False, mesh_damp: float = 0.0,
+                 branch_damp: float = 0.0):
     """Returns rollout(state, u_init [B, tw, ...spatial], n_steps) ->
     predictions [B, n_steps, tw, ...spatial] on the uniform mesh.
 
@@ -35,12 +36,18 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
     worse interpolation); 0 is the reference-faithful forward.  The damp
     value enters the jitted program as a traced operand, so every nonzero
     damp shares ONE compiled program (a damp ladder costs one compile);
-    mesh_damp=0 keeps the original no-damp program (warm-cache hit)."""
+    mesh_damp=0 keeps the original no-damp program (warm-cache hit).
+
+    branch_damp in [0, 1]: scales the moved-branch correction by
+    (1 - branch_damp) — at 1 the two-branch model degenerates to its
+    uniform branch alone.  Separates "the mesh is wrong" from "the
+    correction branch amplifies its own errors" in rollout divergence;
+    traced like mesh_damp (a (mesh, branch) ladder costs one compile)."""
     moving = model_b is not None
     tw = pipe.tw
-    use_damp = bool(mesh_damp)
+    use_damp = bool(mesh_damp) or bool(branch_damp)
 
-    def one_step(params, batch_stats, data, step_idx, damp):
+    def one_step(params, batch_stats, data, step_idx, damp, bdamp):
         steps = jnp.full((data.shape[0],), step_idx, dtype=jnp.int32)
         labels = data  # placeholder; labels unused in the forward
         u_u, _, _, pos_u = pipe.uniform_graph(data, labels, steps)
@@ -60,8 +67,10 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
                 {"params": params["model_b"],
                  "batch_stats": batch_stats["model_b"]},
                 u_m, pos_m, nbr_m, False, mask_m)
-            pred_u = pred_u + pipe.interpolate_pred(itp, itp_vars, pred_b,
-                                                    mesh, data)
+            corr = pipe.interpolate_pred(itp, itp_vars, pred_b, mesh, data)
+            if use_damp:
+                corr = (1.0 - bdamp) * corr
+            pred_u = pred_u + corr
         if residual_head:
             pred_u = pred_u + u_u[..., -1:]
         # [B, N, tw] -> window layout [B, tw, ...spatial]
@@ -70,13 +79,13 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
 
     import functools
 
-    def _rollout_body(state, u_init, n_steps: int, start, damp):
+    def _rollout_body(state, u_init, n_steps: int, start, damp, bdamp):
         start_idx = tw if start is None else int(start)
 
         def body(carry, step_idx):
             data = carry
             pred = one_step(state.params, state.batch_stats, data, step_idx,
-                            damp)
+                            damp, bdamp)
             return pred, pred
 
         # time indices fed to the pos-t channel: the i-th prediction is for
@@ -87,23 +96,25 @@ def make_rollout(pipe: GraphPipeline, model, model_b=None, itp=None,
         return jnp.moveaxis(preds, 0, 1)  # [B, n_steps, tw, ...]
 
     if use_damp:
-        # damp as a TRACED operand: one compiled program serves every
-        # nonzero damp value (the persistent compile cache hashes the HLO,
-        # which is damp-value-independent here)
+        # damps as TRACED operands: one compiled program serves every
+        # nonzero (mesh_damp, branch_damp) pair (the persistent compile
+        # cache hashes the HLO, which is damp-value-independent here)
         @functools.partial(jax.jit, static_argnums=(2, 3))
-        def rollout_impl(state, u_init, n_steps: int, start, damp):
-            return _rollout_body(state, u_init, n_steps, start, damp)
+        def rollout_impl(state, u_init, n_steps: int, start, damp, bdamp):
+            return _rollout_body(state, u_init, n_steps, start, damp, bdamp)
 
         damp_val = jnp.float32(mesh_damp)
+        bdamp_val = jnp.float32(branch_damp)
 
         def rollout(state, u_init, n_steps: int, start: int = None):
-            return rollout_impl(state, u_init, n_steps, start, damp_val)
+            return rollout_impl(state, u_init, n_steps, start, damp_val,
+                                bdamp_val)
         return rollout
 
     # no-damp: keep the exact original program signature (warm-cache hit)
     @functools.partial(jax.jit, static_argnums=(2, 3))
     def rollout(state, u_init, n_steps: int, start: int = None):
-        return _rollout_body(state, u_init, n_steps, start, None)
+        return _rollout_body(state, u_init, n_steps, start, None, None)
 
     return rollout
 

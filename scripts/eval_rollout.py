@@ -34,6 +34,10 @@ def main():
                    help="eval-time mesh damping in [0,1]: scale the DMM "
                         "displacement by (1-damp) during rollout "
                         "(DIVERGENCES.md; 0 = reference-faithful)")
+    p.add_argument("--branch_damp", type=float, default=0.0,
+                   help="eval-time correction damping in [0,1]: scale the "
+                        "moved-branch correction by (1-damp); 1 = uniform "
+                        "branch alone (DIVERGENCES.md)")
     args = p.parse_args()
 
     # fail fast with a usable message: a missing/empty checkpoint argument
@@ -119,7 +123,8 @@ def main():
                               dmm_grid, dmm_nbr,
                               residual_head=bool(
                                   ckpt_args.get("residual_head", False)),
-                              mesh_damp=args.mesh_damp)
+                              mesh_damp=args.mesh_damp,
+                              branch_damp=args.branch_damp)
     batch = min(args.batch, len(u_test))
     rels = []
     for i in range(0, len(u_test) - batch + 1, batch):
@@ -130,6 +135,7 @@ def main():
               "experiment": args.experiment,
               "moving_mesh": moving,
               "mesh_damp": args.mesh_damp,
+              "branch_damp": args.branch_damp,
               "value": float(np.mean(rels)),
               "n_test": len(rels) * args.batch}
     print(json.dumps(result))

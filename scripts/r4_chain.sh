@@ -77,18 +77,28 @@ seed_cache() {
 
 FLAG39=models/GNN_PDE_burgers_meshTrue_xresolution31-48_n35_knn_tw1_unrolling1_time08-20-23-39-40
 
-# ---- stage 1: mesh-damp ladder on the committed flagship ckpt ----
-for d in 0.25 0.75 1.0; do
-    log="logs/r4_damp${d/./}.log"
-    [ -s "$log" ] && { echo "[$(stamp)] ladder $d already done"; continue; }
-    have_time 900 || break
-    echo "[$(stamp)] === damp ladder $d ==="
+# ---- stage 1: damp ladders on the committed flagship ckpt ----
+# mesh_damp=0.5 measured ~neutral (28.35 vs 28.47, logs/r4_damp05.log):
+# the divergence is not displacement-magnitude-driven.  Diagnose the
+# correction branch instead: branch_damp ladder + the mesh_damp=1 extreme.
+# All points share ONE compiled program (damps are traced operands).
+ladder() {
+    local flagval="$1" flag="$2" log="$3"
+    [ -s "$log" ] && { echo "[$(stamp)] ladder $flag=$flagval done"; return; }
+    have_time 900 || return
+    echo "[$(stamp)] === ladder $flag $flagval ==="
     timeout "$(tbudget 2400)" python -u scripts/eval_rollout.py "$FLAG39" \
-        --mesh_damp "$d" > "$log" 2>&1
-    echo "[$(stamp)] damp $d rc=$? -> $(tail -1 "$log")"
-done
-ckpt_commit "Mesh-damp rollout ladder on the epoch-39 flagship checkpoint (r4 stage 1)" \
-    logs/r4_damp05.log logs/r4_damp025.log logs/r4_damp075.log logs/r4_damp10.log
+        "$flag" "$flagval" > "$log" 2>&1
+    echo "[$(stamp)] $flag=$flagval rc=$? -> $(tail -1 "$log")"
+}
+ladder 0.25 --branch_damp logs/r4_bdamp025.log
+ladder 0.5  --branch_damp logs/r4_bdamp05.log
+ladder 0.75 --branch_damp logs/r4_bdamp075.log
+ladder 1.0  --branch_damp logs/r4_bdamp10.log
+ladder 1.0  --mesh_damp   logs/r4_damp10.log
+ckpt_commit "Damp rollout ladders on the epoch-39 flagship checkpoint (r4 stage 1)" \
+    logs/r4_damp05.log logs/r4_damp10.log logs/r4_bdamp025.log \
+    logs/r4_bdamp05.log logs/r4_bdamp075.log logs/r4_bdamp10.log
 
 # ---- stage 1.5: latency probe + profiled bench (ROADMAP #8) ----
 if [ ! -s logs/r4_latency.log ] && have_time 900; then
@@ -125,23 +135,27 @@ if [ "$MM_CKPT" != "$FLAG39" ] && have_time 600; then
     timeout "$(tbudget 2400)" python -u scripts/eval_rollout.py "$MM_CKPT" \
         > logs/r4_rollout_u2.log 2>&1
     echo "[$(stamp)] u2 rollout rc=$? -> $(tail -1 logs/r4_rollout_u2.log)"
-    # best damp from the ladder (smallest rel-L2), default 0.5
+    # best (flag, value) across both ladders (smallest rel-L2)
     BEST_DAMP=$(python - <<'EOF'
 import glob, json
-best, bd = 1e30, "0.5"
-for f in glob.glob("logs/r4_damp*.log"):
+best, args = 1e30, "--branch_damp 0.5"
+for f in glob.glob("logs/r4_damp*.log") + glob.glob("logs/r4_bdamp*.log"):
     try:
         d = json.loads(open(f).read().strip().splitlines()[-1])
         if d["value"] < best:
-            best, bd = d["value"], str(d.get("mesh_damp", 0.5))
+            if d.get("branch_damp"):
+                a = f"--branch_damp {d['branch_damp']}"
+            else:
+                a = f"--mesh_damp {d.get('mesh_damp', 0.5)}"
+            best, args = d["value"], a
     except Exception:
         pass
-print(bd)
+print(args)
 EOF
 )
     timeout "$(tbudget 2400)" python -u scripts/eval_rollout.py "$MM_CKPT" \
-        --mesh_damp "$BEST_DAMP" > logs/r4_rollout_u2_damp.log 2>&1
-    echo "[$(stamp)] u2 damp=$BEST_DAMP rollout rc=$? -> $(tail -1 logs/r4_rollout_u2_damp.log)"
+        $BEST_DAMP > logs/r4_rollout_u2_damp.log 2>&1
+    echo "[$(stamp)] u2 $BEST_DAMP rollout rc=$? -> $(tail -1 logs/r4_rollout_u2_damp.log)"
     ckpt_commit "Flagship unrolling-2 pushforward to 80 epochs + rollouts (r4 stage 2)" \
         "$MM_CKPT" logs/r4_mmpde_push_u2.log logs/r4_rollout_u2.log \
         logs/r4_rollout_u2_damp.log

@@ -564,3 +564,32 @@ def test_rollout_mesh_damp():
     assert np.all(np.isfinite(p_half))
     assert not np.array_equal(p_half, p_base)
     assert not np.array_equal(p_half, p_full)
+
+
+def test_rollout_branch_damp():
+    """branch_damp=1 must equal the uniform branch alone (the plain-GNN
+    rollout with the same 'model' params); branch_damp=0 must equal the
+    undamped two-branch rollout."""
+    from mmpde_tpu.eval.rollout import make_rollout
+    (pipe, model, model_b, itp, dmm, dmm_vars, dmm_grid, dmm_nbr,
+     state, u, n_nodes) = _tiny_cy_moving_setup()
+    u0 = jnp.asarray(u[:, 0:1])
+
+    def run(**kw):
+        fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
+                          dmm_grid, dmm_nbr, residual_head=True, **kw)
+        return np.asarray(fn(state, u0, 3))
+
+    p_base = run()
+    p_b0 = run(branch_damp=0.0)
+    p_b1 = run(branch_damp=1.0)
+    np.testing.assert_array_equal(p_b0, p_base)
+
+    plain_state = T.TrainState(params={"model": state.params["model"]},
+                               batch_stats={"model":
+                                            state.batch_stats["model"]},
+                               opt_state=None, step=jnp.zeros((), jnp.int32))
+    plain_fn = make_rollout(pipe, model, residual_head=True)
+    p_plain = np.asarray(plain_fn(plain_state, u0, 3))
+    np.testing.assert_allclose(p_b1, p_plain, rtol=2e-5, atol=1e-6)
+    assert not np.array_equal(p_b1, p_base)
