@@ -92,6 +92,10 @@ def get_args(argv=None):
                              'original MP-PDE trick; the reference only '
                              'shrinks the sampling range). Trains rollout '
                              'stability. Implies the python loader.')
+    parser.add_argument('--input_noise', type=float, default=0.0,
+                        help='training-time Gaussian noise std added to the '
+                             'input window (MeshGraphNets-style rollout '
+                             'stabilizer; extension, DIVERGENCES.md)')
     parser.add_argument('--scan_epoch', type=eval, default=True,
                         help='device-resident epoch: keep the train set on '
                              'device and run each epoch as ONE lax.scan '
@@ -290,7 +294,8 @@ def main(args):
                                   donate=not use_scan,
                                   residual_head=args.residual_head,
                                   pushforward=args.pushforward,
-                                  max_unrolling=args.unrolling)
+                                  max_unrolling=args.unrolling,
+                                  input_noise=args.input_noise)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
                                   train=False,

@@ -81,7 +81,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   dmm_grid=None, dmm_nbr=None, train: bool = True,
                   window_input: bool = False, node_sharding=None,
                   donate: bool = False, residual_head: bool = False,
-                  pushforward: bool = False, max_unrolling: int = 1):
+                  pushforward: bool = False, max_unrolling: int = 1,
+                  input_noise: float = 0.0):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
@@ -114,6 +115,13 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
     dropped (train_helper_2d.py:100-104 only shrinks the sampling range).
     Trains the model on its own rollout input distribution.  Requires
     full-trajectory inputs (window_input=False).
+
+    input_noise > 0 (documented divergence, DIVERGENCES.md): training-time
+    Gaussian noise of that std added to the input window (labels
+    untouched) — the MeshGraphNets-style rollout stabilizer: the model
+    learns to pull noisy states back toward the manifold instead of
+    amplifying its own rollout errors.  Train steps only; the noise key is
+    derived from state.step (deterministic, no extra step argument).
     """
     moving = model_b is not None
     mask = pipe.uniform_mask
@@ -226,6 +234,13 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
             data, labels = pipe.create_data(u_traj, steps)
         return data, labels, steps
 
+    def _noised(data, step):
+        if not input_noise:
+            return data
+        key = jax.random.fold_in(jax.random.PRNGKey(17), step)
+        return data + input_noise * jax.random.normal(key, data.shape,
+                                                      data.dtype)
+
     if not train:
         @jax.jit
         def eval_step(state: TrainState, *args):
@@ -264,6 +279,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                     carry = one_push(None, carry)
                 data_e, steps_e = carry
                 _, labels_e = pipe.create_data(u_traj, steps_e)
+                data_e = _noised(data_e, state.step)
                 (loss, new_stats), grads = jax.value_and_grad(
                     forward, has_aux=True)(state.params, state.batch_stats,
                                            data_e, labels_e, steps_e, True)
@@ -293,6 +309,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                                      lambda c: c, carry)
             data_e, steps_e = carry
             _, labels_e = pipe.create_data(u_traj, steps_e)
+            data_e = _noised(data_e, state.step)
             (loss, new_stats), grads = jax.value_and_grad(
                 forward, has_aux=True)(state.params, state.batch_stats,
                                        data_e, labels_e, steps_e, True)
@@ -315,6 +332,7 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, *args):
         data, labels, steps = _inputs(args)
+        data = _noised(data, state.step)
         (loss, new_stats), grads = jax.value_and_grad(
             forward, has_aux=True)(state.params, state.batch_stats,
                                    data, labels, steps, True)

@@ -383,6 +383,38 @@ def test_rollout_runs_and_metric(tiny_setup):
     assert preds.shape == (2, 4, 1, NX, NX)
 
 
+def test_input_noise_step(tiny_setup):
+    """input_noise=0 must be the exact default step; >0 must perturb the
+    loss, stay finite, and be deterministic in state.step."""
+    pde, pipe, u = tiny_setup
+    model = MPSolver2D(time_window=1, hidden_features=32, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((2, pipe.n_nodes, 1))
+    ps = jnp.ones((2, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    params = {"model": v["params"]}
+    opt = T.make_optimizer(1e-3)
+    state = T.TrainState(params=params,
+                         batch_stats={"model": v["batch_stats"]},
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    plain = T.make_gnn_step(pipe, model, opt, train=True)
+    zero = T.make_gnn_step(pipe, model, opt, train=True, input_noise=0.0)
+    noisy = T.make_gnn_step(pipe, model, opt, train=True, input_noise=0.1)
+    steps = jnp.asarray([3, 5])
+    batch = jnp.asarray(u[:2])
+    l_plain = float(plain(state, batch, steps)[1])
+    l_zero = float(zero(state, batch, steps)[1])
+    l_noisy = float(noisy(state, batch, steps)[1])
+    l_noisy2 = float(noisy(state, batch, steps)[1])
+    assert l_plain == l_zero
+    assert np.isfinite(l_noisy) and l_noisy != l_plain
+    assert l_noisy == l_noisy2  # same state.step -> same noise draw
+    # a different step index draws different noise
+    state2 = state.replace(step=jnp.ones((), jnp.int32))
+    assert float(noisy(state2, batch, steps)[1]) != l_noisy
+
+
 def test_pushforward_step(tiny_setup):
     """unrolled=0 must match the plain step exactly; unrolled>0 must execute
     a real own-prediction pushforward (different loss, finite, trainable)."""
