@@ -82,7 +82,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                   window_input: bool = False, node_sharding=None,
                   donate: bool = False, residual_head: bool = False,
                   pushforward: bool = False, max_unrolling: int = 1,
-                  input_noise: float = 0.0):
+                  input_noise: float = 0.0, mesh_damp: float = 0.0,
+                  branch_damp: float = 0.0):
     """Two-branch (or plain) GNN train/eval step.
 
     pred = interpolate_pred(model_b(moved_graph)) + model(uniform_graph)
@@ -122,8 +123,15 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
     learns to pull noisy states back toward the manifold instead of
     amplifying its own rollout errors.  Train steps only; the noise key is
     derived from state.step (deterministic, no extra step argument).
+
+    mesh_damp / branch_damp: the eval/rollout damping knobs
+    (eval/rollout.py, DIVERGENCES.md) — scale the DMM displacement /
+    the moved-branch correction by (1 - damp).  Intended for eval steps
+    (one-step test MSE at a damped operating point); both 0 keeps the
+    exact undamped program.
     """
     moving = model_b is not None
+    use_eval_damp = bool(mesh_damp) or bool(branch_damp)
     mask = pipe.uniform_mask
     if pushforward and window_input:
         raise ValueError("pushforward needs full trajectories "
@@ -178,14 +186,21 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
         if moving:
             itp_vars = {"params": params["itp"]}
             geom2 = None
-            if fuse_itp:
-                # both interpolation directions' kNN + weights in one
-                # stacked MLP apply (MMPDE_FUSED_ITP=1): the mode-'2'
-                # weights only depend on geometry, so they are computed
-                # here and reused by interpolate_pred below
+            if fuse_itp or use_eval_damp:
+                # explicit mesh: either to share interpolation geometry
+                # (MMPDE_FUSED_ITP=1: both directions' kNN + weights in one
+                # stacked MLP apply; mode-'2' weights only depend on
+                # geometry, computed here and reused by interpolate_pred
+                # below) or to apply mesh damping before the graph build
                 mesh = pipe.moved_mesh(dmm, dmm_vars, data, dmm_grid,
                                        dmm_nbr)
-                geom1, geom2 = pipe.itp_geometry(itp, itp_vars, mesh)
+                if mesh_damp:
+                    uni = jnp.broadcast_to(pipe.grid[None],
+                                           mesh.shape).astype(mesh.dtype)
+                    mesh = uni + (1.0 - float(mesh_damp)) * (mesh - uni)
+                geom1 = geom2 = None
+                if fuse_itp:
+                    geom1, geom2 = pipe.itp_geometry(itp, itp_vars, mesh)
                 u_m, y_m, pos_m, nbr_m, mask_m = pipe.moved_graph_from_mesh(
                     itp, itp_vars, data, labels, steps, mesh, geom=geom1)
             else:
@@ -209,6 +224,8 @@ def make_gnn_step(pipe: GraphPipeline, model: MPSolver2D, optimizer,
                 new_stats["model"] = st["batch_stats"]
             pred_m = pipe.interpolate_pred(itp, itp_vars, pred_b, mesh, data,
                                            geom=geom2)
+            if branch_damp:
+                pred_m = (1.0 - float(branch_damp)) * pred_m
             pred = pred_m + pred_u
         else:
             pred_u, st = _solver_apply(model, params["model"],

@@ -38,6 +38,10 @@ def main():
                    help="eval-time correction damping in [0,1]: scale the "
                         "moved-branch correction by (1-damp); 1 = uniform "
                         "branch alone (DIVERGENCES.md)")
+    p.add_argument("--one_step", action="store_true",
+                   help="report the reference one-step test MSE "
+                        "(test_timestep_losses) at the damped operating "
+                        "point instead of the autoregressive rollout")
     args = p.parse_args()
 
     # fail fast with a usable message: a missing/empty checkpoint argument
@@ -119,6 +123,24 @@ def main():
     state = TrainState(params=state_raw["params"],
                        batch_stats=state_raw["batch_stats"],
                        opt_state=None, step=jnp.zeros((), jnp.int32))
+
+    if args.one_step:
+        import mmpde_tpu.solver.train as T
+        eval_fn = T.make_gnn_step(
+            pipe, model, None, model_b, itp, dmm, dmm_vars, dmm_grid,
+            dmm_nbr, train=False,
+            residual_head=bool(ckpt_args.get("residual_head", False)),
+            mesh_damp=args.mesh_damp, branch_damp=args.branch_damp)
+        mse = T.test_timestep_losses(pipe, eval_fn, state, u_test,
+                                     batch_size=args.batch)
+        print(json.dumps({"metric": "one_step_test_mse",
+                          "experiment": args.experiment,
+                          "moving_mesh": moving,
+                          "mesh_damp": args.mesh_damp,
+                          "branch_damp": args.branch_damp,
+                          "value": mse, "n_test": len(u_test)}))
+        return
+
     rollout_fn = make_rollout(pipe, model, model_b, itp, dmm, dmm_vars,
                               dmm_grid, dmm_nbr,
                               residual_head=bool(

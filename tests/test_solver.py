@@ -598,6 +598,37 @@ def test_rollout_mesh_damp():
     assert not np.array_equal(p_half, p_full)
 
 
+def test_eval_step_damps():
+    """make_gnn_step(train=False, ...damps): zero damps bit-identical to
+    the default eval step; branch_damp=1 equals the plain one-branch eval
+    with the same 'model' params."""
+    (pipe, model, model_b, itp, dmm, dmm_vars, dmm_grid, dmm_nbr,
+     state, u, n_nodes) = _tiny_cy_moving_setup()
+    steps = jnp.asarray([2, 3])
+    batch = jnp.asarray(u)
+
+    def ev(**kw):
+        fn = T.make_gnn_step(pipe, model, None, model_b, itp, dmm, dmm_vars,
+                             dmm_grid, dmm_nbr, train=False,
+                             residual_head=True, **kw)
+        return float(fn(state, batch, steps))
+
+    base = ev()
+    assert ev(mesh_damp=0.0, branch_damp=0.0) == base
+    l_half = ev(branch_damp=0.5)
+    assert np.isfinite(l_half) and l_half != base
+
+    plain_fn = T.make_gnn_step(pipe, model, None, train=False,
+                               residual_head=True)
+    plain_state = T.TrainState(params={"model": state.params["model"]},
+                               batch_stats={"model":
+                                            state.batch_stats["model"]},
+                               opt_state=None, step=jnp.zeros((), jnp.int32))
+    l_plain = float(plain_fn(plain_state, batch, steps))
+    np.testing.assert_allclose(ev(branch_damp=1.0), l_plain,
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_rollout_branch_damp():
     """branch_damp=1 must equal the uniform branch alone (the plain-GNN
     rollout with the same 'model' params); branch_damp=0 must equal the
