@@ -154,13 +154,22 @@ def gnn_stack(n_layers: int, hidden: int, name: str, node_mesh=None):
     six times in the XLA program (x2 models, x forward+backward); scanning
     keeps one copy with parameters stacked along a leading layer axis —
     compile time drops by roughly the layer count at identical runtime.
+
+    MMPDE_UNROLL_LAYERS=1 unrolls the scan in the COMPILED program (same
+    stacked parameter tree, checkpoint-compatible): the r4 profile shows
+    the step is dominated by the scan `while` ops (~133 of 192 ms), and
+    unrolling lets XLA schedule/fuse across layer boundaries at the cost
+    of longer compiles.
     """
+    unroll = (n_layers if os.environ.get("MMPDE_UNROLL_LAYERS") == "1"
+              else 1)
     return nn.scan(
         _GNNScanCell,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,) * 8,
         length=n_layers,
+        unroll=unroll,
         metadata_params={nn.meta.PARTITION_NAME: None},
     )(hidden, node_mesh, name=name)
 

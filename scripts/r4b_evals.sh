@@ -49,3 +49,23 @@ run onestep_bd085 --one_step --branch_damp 0.85
 git add -f logs/r4b_*.log && \
     git commit -q -m "Finer branch-damp sweep + one-step MSE at damped operating points (r4b)" \
     && echo "[$(stamp)] committed r4b evals"
+
+# ---- profile-guided step-time A/Bs (r4 profile: scan whiles = 133/192ms) ----
+ab() {
+    local name="$1"; shift
+    local log="logs/r4b_ab_${name}.log"
+    [ -s "$log" ] && { echo "[$(stamp)] A/B $name done"; return; }
+    echo "[$(stamp)] === A/B $name ==="
+    timeout 3600 env "$@" python -u bench.py --step-only > "$log" 2>&1
+    echo "[$(stamp)] A/B $name rc=$? -> $(tail -1 "$log")"
+}
+ab pallas_mp MMPDE_PALLAS_MP=1
+ab unroll_layers MMPDE_UNROLL_LAYERS=1
+ab pallas_unroll MMPDE_PALLAS_MP=1 MMPDE_UNROLL_LAYERS=1
+git add -f logs/r4b_ab_*.log 2>/dev/null && \
+    git commit -q -m "Profile-guided step-time A/Bs: pallas_mp, unroll_layers (r4b)" \
+    && echo "[$(stamp)] committed r4b A/Bs"
+if [ -d .jax_cache ]; then
+    mkdir -p .jax_cache_seed && cp -n .jax_cache/* .jax_cache_seed/ 2>/dev/null
+    git add -f .jax_cache_seed && git commit -q -m "Cache seed refresh (r4b A/Bs)" || true
+fi
