@@ -96,6 +96,12 @@ def get_args(argv=None):
                         help='training-time Gaussian noise std added to the '
                              'input window (MeshGraphNets-style rollout '
                              'stabilizer; extension, DIVERGENCES.md)')
+    parser.add_argument('--train_branch_damp', type=float, default=0.0,
+                        help='scale the moved-branch correction by '
+                             '(1-damp) in BOTH the train and eval steps: '
+                             'train at the damped rollout operating point '
+                             '(extension, DIVERGENCES.md; eval-only '
+                             'damping lives in scripts/eval_rollout.py)')
     parser.add_argument('--scan_epoch', type=eval, default=True,
                         help='device-resident epoch: keep the train set on '
                              'device and run each epoch as ONE lax.scan '
@@ -295,11 +301,13 @@ def main(args):
                                   residual_head=args.residual_head,
                                   pushforward=args.pushforward,
                                   max_unrolling=args.unrolling,
-                                  input_noise=args.input_noise)
+                                  input_noise=args.input_noise,
+                                  branch_damp=args.train_branch_damp)
         eval_fn = T.make_gnn_step(pipe, model, None, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
                                   train=False,
-                                  residual_head=args.residual_head)
+                                  residual_head=args.residual_head,
+                                  branch_damp=args.train_branch_damp)
     else:
         step_fn = T.make_cnn_step(pipe, model, optimizer, train=True,
                                   donate=not use_scan)
@@ -453,6 +461,14 @@ def main(args):
             async_writer.save(ckpt_state, config=ckpt_config)
         else:
             save_checkpoint(save_path, ckpt_state, config=ckpt_config)
+        # keep the best-test-MSE epoch separately: the per-epoch save
+        # overwrites with the LATEST state, and test error fluctuates a few
+        # x1e-4 late in training (the r4 u2 run ended on a 4.1e-4 epoch
+        # while epoch 51 measured 2.0e-4).  eval scripts accept the
+        # best/ subdir like any checkpoint dir.
+        if test_loss == min(test_losses):
+            save_checkpoint(os.path.join(save_path, 'best'), ckpt_state,
+                            config=ckpt_config)
         print(f'Saved model at {save_path}\n')
 
     if async_writer is not None:
