@@ -171,7 +171,7 @@ if [ ! -d cy_checkpoint ] && have_time 2400; then
     echo "[$(stamp)] stage 3 rc=$? ($(grep -c '^Epoch' logs/r4_dmm_cy.log) epochs)"
     if [ "$(grep -c '^Epoch' logs/r4_dmm_cy.log)" -gt 0 ]; then
         ckpt_commit "Cylinder DMM checkpoint at the reference config (r4 stage 3)" \
-            cy_checkpoint logs/r4_dmm_cy.log cy data/cy_*.npz data/cy_*.npy
+            cy_checkpoint logs/r4_dmm_cy.log cy data/cylinder_rot_tri.npy
     else
         ckpt_commit "r4 cy DMM log (no epochs)" logs/r4_dmm_cy.log
     fi
