@@ -163,8 +163,17 @@ def gnn_stack(n_layers: int, hidden: int, name: str, node_mesh=None):
     """
     unroll = (n_layers if os.environ.get("MMPDE_UNROLL_LAYERS") == "1"
               else 1)
+    cell = _GNNScanCell
+    if os.environ.get("MMPDE_REMAT_LAYERS") == "1":
+        # remat each layer: the backward recomputes the layer forward
+        # instead of carrying the saved [L, B, N, 260] activation stacks
+        # through the while loop (the r4 profile shows two such bf16
+        # stacks dominating the 3.2 GB/step the scanned backward reads) —
+        # the classic trade-FLOPs-for-HBM move; the layer matmuls are
+        # ~free on the MXU
+        cell = nn.remat(_GNNScanCell, static_argnums=(7, 9))
     return nn.scan(
-        _GNNScanCell,
+        cell,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=(nn.broadcast,) * 8,

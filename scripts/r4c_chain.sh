@@ -126,11 +126,12 @@ ab() {
     echo "[$(stamp)] A/B $name rc=$? -> $(tail -1 "$log")"
 }
 ab pallas_mp MMPDE_PALLAS_MP=1
+ab remat_layers MMPDE_REMAT_LAYERS=1
 ab unroll_layers MMPDE_UNROLL_LAYERS=1
-ab pallas_unroll MMPDE_PALLAS_MP=1 MMPDE_UNROLL_LAYERS=1
-ckpt_commit "Profile-guided step-time A/Bs: pallas_mp, unroll_layers (r4c stage 4)" \
-    logs/r4b_ab_pallas_mp.log logs/r4b_ab_unroll_layers.log \
-    logs/r4b_ab_pallas_unroll.log
+ab pallas_remat MMPDE_PALLAS_MP=1 MMPDE_REMAT_LAYERS=1
+ckpt_commit "Profile-guided step-time A/Bs: pallas_mp, remat_layers, unroll_layers (r4c stage 4)" \
+    logs/r4b_ab_pallas_mp.log logs/r4b_ab_remat_layers.log \
+    logs/r4b_ab_unroll_layers.log logs/r4b_ab_pallas_remat.log
 
 # ---- stage 5: scan-path bench compile + bench refresh ----
 if have_time 2400; then
