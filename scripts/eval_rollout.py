@@ -124,6 +124,34 @@ def main():
                        batch_stats=state_raw["batch_stats"],
                        opt_state=None, step=jnp.zeros((), jnp.int32))
 
+    if ckpt_args.get("model") == "BaseCNN":
+        # CNN ablation: image-to-image map, rolled out autoregressively
+        import functools
+        from mmpde_tpu.models import BaseCNN
+        cnn = BaseCNN(time_window=tw,
+                      hidden_channels=int(ckpt_args["hidden_channels"]),
+                      dt=pde.dt)
+        cnn_params = state_raw["params"]["model"]
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def cnn_rollout(_state, u_init, n_steps: int, start=None):
+            def body(d, _):
+                pred = cnn.apply({"params": cnn_params}, d).reshape(d.shape)
+                return pred, pred
+
+            _, preds = jax.lax.scan(body, u_init, None, length=n_steps)
+            return jnp.moveaxis(preds, 0, 1)
+
+        def rollout_cnn_fn(_state, u_init, n_steps, start=None):
+            return cnn_rollout(_state, u_init, n_steps)
+
+        rel = evaluate_rollout(pipe, rollout_cnn_fn, state, u_test)
+        print(json.dumps({"metric": "rollout_relative_l2",
+                          "experiment": args.experiment, "model": "BaseCNN",
+                          "moving_mesh": False, "value": rel,
+                          "n_test": len(u_test)}))
+        return
+
     if args.one_step:
         import mmpde_tpu.solver.train as T
         eval_fn = T.make_gnn_step(
