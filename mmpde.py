@@ -293,6 +293,13 @@ def main(args):
     use_scan = (bool(args.scan_epoch) and not use_native
                 and not (args.pushforward
                          and os.environ.get('MMPDE_STATIC_PUSH') == '1'))
+    if use_scan and args.pushforward and jax.default_backend() == 'axon':
+        # the scan(cond(two-branch step)) program crashes the experimental
+        # axon TPU worker in its first execution (DIVERGENCES 41, r3+r4);
+        # the identical step runs fine per-batch and on other backends
+        print('[mmpde] scan+pushforward faults the axon TPU runtime '
+              '(DIVERGENCES 41): falling back to per-batch epochs')
+        use_scan = False
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
                                   dmm, dmm_vars, dmm_grid, dmm_nbr,
