@@ -155,14 +155,17 @@ def gnn_stack(n_layers: int, hidden: int, name: str, node_mesh=None):
     keeps one copy with parameters stacked along a leading layer axis —
     compile time drops by roughly the layer count at identical runtime.
 
-    MMPDE_UNROLL_LAYERS=1 unrolls the scan in the COMPILED program (same
-    stacked parameter tree, checkpoint-compatible): the r4 profile shows
-    the step is dominated by the scan `while` ops (~133 of 192 ms), and
-    unrolling lets XLA schedule/fuse across layer boundaries at the cost
-    of longer compiles.
+    Layer-scan unrolling (DEFAULT ON since round 4; opt out with
+    MMPDE_UNROLL_LAYERS=0): the scan executes unrolled in the COMPILED
+    program (same stacked parameter tree, same math, checkpoint-
+    compatible — `lax.scan(unroll=L)`), letting XLA schedule/fuse across
+    layer boundaries.  The r4 profile showed the scan `while` ops at
+    ~133 of 192 ms/step; unrolling measured **162.6 vs 193.0 ms/step**
+    (-16%, logs/r4b_ab_unroll_layers.log).  Cost: longer compiles
+    (one-time, persistent-cached).
     """
-    unroll = (n_layers if os.environ.get("MMPDE_UNROLL_LAYERS") == "1"
-              else 1)
+    unroll = (1 if os.environ.get("MMPDE_UNROLL_LAYERS") == "0"
+              else n_layers)
     cell = _GNNScanCell
     if os.environ.get("MMPDE_REMAT_LAYERS") == "1":
         # remat each layer: the backward recomputes the layer forward
