@@ -293,10 +293,14 @@ def main(args):
     use_scan = (bool(args.scan_epoch) and not use_native
                 and not (args.pushforward
                          and os.environ.get('MMPDE_STATIC_PUSH') == '1'))
-    if use_scan and args.pushforward and jax.default_backend() == 'axon':
+    from mmpde_tpu.utils.env import on_axon_runtime
+    if (use_scan and args.pushforward and on_axon_runtime()
+            and os.environ.get('MMPDE_FORCE_SCAN_PUSH') != '1'):
         # the scan(cond(two-branch step)) program crashes the experimental
         # axon TPU worker in its first execution (DIVERGENCES 41, r3+r4);
-        # the identical step runs fine per-batch and on other backends
+        # the identical step runs fine per-batch and on other backends.
+        # MMPDE_FORCE_SCAN_PUSH=1 bypasses the guard (fault bisection only:
+        # scripts/bisect_scan_push_fault.sh in a dedicated chip window)
         print('[mmpde] scan+pushforward faults the axon TPU runtime '
               '(DIVERGENCES 41): falling back to per-batch epochs')
         use_scan = False

@@ -27,6 +27,23 @@ def enable_fast_paths():
     os.environ.setdefault("MMPDE_LOCAL_KNN", "1")
 
 
+def on_axon_runtime() -> bool:
+    """True when jax runs through the experimental 'axon' remote-TPU plugin.
+
+    The plugin registers platform name 'axon' but its devices (and
+    ``jax.default_backend()``) report plain 'tpu', so backend-name checks
+    do NOT identify it — probe the env pin and the registered-backends
+    table instead.  Used to gate workarounds for axon-runtime faults
+    (DIVERGENCES.md #41)."""
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    try:
+        from jax._src import xla_bridge
+        return "axon" in xla_bridge.backends()
+    except Exception:
+        return False
+
+
 def setup_compilation_cache(cache_dir: str | None = None):
     import jax
 

@@ -226,3 +226,19 @@ def test_burgers_lowres_cache_fallback(tmp_path):
     raw = _burgers_raw(str(ntdir), 4, {"n_traj": 3, "nt": 2, "s": 8,
                                        "sub_steps": 2})
     assert raw.shape[1] == 2  # regenerated at the requested nt
+
+
+def test_on_axon_runtime_detection(monkeypatch):
+    """The axon remote-TPU plugin reports plain 'tpu' from
+    jax.default_backend(), so the runtime-fault guards must NOT rely on
+    backend names (a round-4-tail bug: the scan+pushforward fallback in
+    mmpde.py never fired).  on_axon_runtime() probes the JAX_PLATFORMS
+    pin and the registered-backends table instead."""
+    from mmpde_tpu.utils.env import on_axon_runtime
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert on_axon_runtime()
+    # this test process runs with JAX_PLATFORMS=cpu and no axon plugin on
+    # PYTHONPATH: both probes must come back negative
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert not on_axon_runtime()
