@@ -118,6 +118,35 @@ if [ ! -s logs/r5_ab_unroll_fused_itp.log ] && have_time 1500; then
         logs/r5_ab_unroll_fused_itp.log
 fi
 
+# ---- stage 3b (optional): cy solver retrain on the 150-epoch DMM ----
+# the r4d cy head-to-head (one-step 9.92e-4, rollout 0.660) froze the
+# 76-epoch cy DMM; a full-budget DMM may push both further
+if [ "$(dmm_epochs cy_checkpoint)" -ge 150 ] && have_time 7200; then
+    echo "[$(stamp)] === stage 3b: MM-PDE cy retrain on full-budget DMM ==="
+    timeout "$(tbudget 7200)" python -u mmpde.py --experiment cy \
+        --base_resolution 30,2521 --lr 6e-4 --num_epochs 40 --unrolling 1 \
+        --pushforward True --residual_head True --n_traj 100 \
+        --scan_epoch False > logs/r5_mmpde_cy_dmm150.log 2>&1
+    echo "[$(stamp)] rc=$? ($(grep -c '^Epoch' logs/r5_mmpde_cy_dmm150.log) epochs)"
+    c=$(solver_ckpt logs/r5_mmpde_cy_dmm150.log)
+    if [ -n "$c" ] && [ -e "$c/state.msgpack" ]; then
+        BEST="$c"; [ -e "$c/best/state.msgpack" ] && BEST="$c/best"
+        timeout "$(tbudget 2400)" python -u scripts/eval_rollout.py "$BEST" \
+            --experiment cy --base_resolution 30,2521 \
+            > logs/r5_rollout_cy_dmm150.log 2>&1
+        echo "[$(stamp)] rollout -> $(tail -1 logs/r5_rollout_cy_dmm150.log)"
+        timeout "$(tbudget 1800)" python -u scripts/eval_rollout.py "$BEST" \
+            --experiment cy --base_resolution 30,2521 --one_step \
+            > logs/r5_onestep_cy_dmm150.log 2>&1
+        echo "[$(stamp)] one-step -> $(tail -1 logs/r5_onestep_cy_dmm150.log)"
+        ckpt_commit "MM-PDE cy retrained on the full-budget (150-epoch) DMM + evals (r5 stage 3b)" \
+            "$c" logs/r5_mmpde_cy_dmm150.log logs/r5_rollout_cy_dmm150.log \
+            logs/r5_onestep_cy_dmm150.log
+    else
+        ckpt_commit "r5 cy retrain log (no checkpoint)" logs/r5_mmpde_cy_dmm150.log
+    fi
+fi
+
 # ---- stage 4: bench refresh + cache seed ----
 if have_time 900; then
     echo "[$(stamp)] === stage 4: bench refresh ==="
