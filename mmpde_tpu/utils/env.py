@@ -37,10 +37,21 @@ def on_axon_runtime() -> bool:
     (DIVERGENCES.md #41)."""
     if "axon" in os.environ.get("JAX_PLATFORMS", ""):
         return True
-    try:
+    try:  # public registry surface (jax>=0.4 jax.extend)
+        from jax.extend.backend import backends
+        return "axon" in backends()
+    except (ImportError, AttributeError):
+        pass
+    try:  # private fallback for older jax
         from jax._src import xla_bridge
         return "axon" in xla_bridge.backends()
-    except Exception:
+    except (ImportError, AttributeError):
+        # Both probes broke (jax upgrade).  Failing open silently would
+        # re-create the round-4 dead-guard bug (RESULTS.md round-4 tail),
+        # so say so once and let JAX_PLATFORMS be the manual override.
+        print("[mmpde] WARNING: axon-runtime probe failed (jax backend "
+              "registry moved); assuming NOT axon. Set JAX_PLATFORMS=axon "
+              "to force the DIVERGENCES-41 fallback.")
         return False
 
 

@@ -238,7 +238,19 @@ def test_on_axon_runtime_detection(monkeypatch):
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
     assert on_axon_runtime()
-    # this test process runs with JAX_PLATFORMS=cpu and no axon plugin on
-    # PYTHONPATH: both probes must come back negative
+    # Negative case: pin the registry probes to a fixed cpu-only table
+    # instead of relying on this process never having registered the axon
+    # plugin (ADVICE r4: on a TPU host without the cpu pin the live table
+    # would make this flaky).
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    import jax.extend.backend as _eb
+    from jax._src import xla_bridge as _xb
+    monkeypatch.setattr(_eb, "backends", lambda: {"cpu": object()})
+    monkeypatch.setattr(_xb, "backends", lambda: {"cpu": object()},
+                        raising=False)
     assert not on_axon_runtime()
+    # and with a registered axon backend the table probe alone must fire
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setattr(_eb, "backends",
+                        lambda: {"cpu": object(), "axon": object()})
+    assert on_axon_runtime()
