@@ -17,7 +17,7 @@ p.add_argument("--ckpt_dir", default="/tmp/wd_rehearsal_ckpt")
 a = p.parse_args()
 
 if a.resume:
-    assert os.path.exists(os.path.join(a.resume, "state.marker")), \
+    assert os.path.exists(os.path.join(a.resume, "state.msgpack")), \
         "resume pointed at a checkpoint that was never written"
     print(a.resume, flush=True)
     for e in range(2, 5):
@@ -35,6 +35,6 @@ for e in range(2):
     print(f"Epoch {e}", flush=True)
     print(f"Mean Timestep Test Error: {1e-3}", flush=True)
     time.sleep(0.2)
-with open(os.path.join(a.ckpt_dir, "state.marker"), "w") as f:
+with open(os.path.join(a.ckpt_dir, "state.msgpack"), "w") as f:
     f.write("ok")
 time.sleep(10_000)  # injected hang

@@ -78,7 +78,15 @@ while :; do
             rc=125; break
         fi
         ckpt=$(grep -oE '^models/[^ ]+' "$LOG" | tail -1)
-        cmd=${RESUME_CMD//\{CKPT\}/$ckpt}
+        if [ -n "$ckpt" ] && [ -e "$ckpt/state.msgpack" ]; then
+            cmd=${RESUME_CMD//\{CKPT\}/$ckpt}
+        else
+            # stalled before the first per-epoch save (e.g. a compile
+            # hang): nothing to resume, relaunch fresh instead of handing
+            # the CLI a checkpoint dir without a state file
+            echo "[$(stamp)] watchdog: no saved state yet, relaunching fresh" >&2
+            cmd="$INITIAL_CMD"
+        fi
         resumes=$(( resumes + 1 ))
         echo "[$(stamp)] watchdog: resume #$resumes (ckpt='$ckpt')" >&2
         launch "$cmd"
