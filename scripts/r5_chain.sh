@@ -67,8 +67,9 @@ while [ "$(dmm_epochs cy_checkpoint)" -lt 150 ] && have_time 1200 \
         --train_sample_grid 1500 --branch_layers 4,3 --trunk_layers 16,512 \
         --epochs_adam 150 --epochs_rf 1 --eval_every 25 --n_traj 100 \
         --plot True --resume True > "logs/r5_dmm_cy_p${pass}.log" 2>&1
+    rc=$?
     e1=$(dmm_epochs cy_checkpoint)
-    echo "[$(stamp)] pass $pass rc=$? epochs $e0 -> $e1"
+    echo "[$(stamp)] pass $pass rc=$rc epochs $e0 -> $e1"
     [ "$e1" -gt "$e0" ] || break   # no progress: stop instead of spinning
     ckpt_commit "cy DMM resumed to epoch $e1/150 (r5 stage 1 pass $pass)" \
         cy_checkpoint "logs/r5_dmm_cy_p${pass}.log" cy
@@ -87,7 +88,8 @@ damp_ft() {
         --residual_head True --n_traj 100 --scan_epoch False \
         --train_branch_damp "$d" --resume "$FLAG39" \
         > "logs/r5_bdamp${tag}_ft.log" 2>&1
-    echo "[$(stamp)] ft $d rc=$? ($(grep -c '^Epoch' "logs/r5_bdamp${tag}_ft.log") epochs)"
+    local rc=$?
+    echo "[$(stamp)] ft $d rc=$rc ($(grep -c '^Epoch' "logs/r5_bdamp${tag}_ft.log") epochs)"
     local c; c=$(solver_ckpt "logs/r5_bdamp${tag}_ft.log")
     if [ -n "$c" ] && [ -e "$c/state.msgpack" ]; then
         local BEST="$c"; [ -e "$c/best/state.msgpack" ] && BEST="$c/best"
@@ -113,7 +115,8 @@ if [ ! -s logs/r5_ab_unroll_fused_itp.log ] && have_time 1500; then
     echo "[$(stamp)] === stage 3: A/B unroll+fused_itp ==="
     timeout "$(tbudget 3600)" env MMPDE_FUSED_ITP=1 python -u bench.py \
         --step-only > logs/r5_ab_unroll_fused_itp.log 2>&1
-    echo "[$(stamp)] rc=$? -> $(tail -1 logs/r5_ab_unroll_fused_itp.log)"
+    rc=$?
+    echo "[$(stamp)] rc=$rc -> $(tail -1 logs/r5_ab_unroll_fused_itp.log)"
     ckpt_commit "A/B unroll+fused_itp step time (r5 stage 3)" \
         logs/r5_ab_unroll_fused_itp.log
 fi
@@ -127,7 +130,8 @@ if [ "$(dmm_epochs cy_checkpoint)" -ge 150 ] && have_time 7200; then
         --base_resolution 30,2521 --lr 6e-4 --num_epochs 40 --unrolling 1 \
         --pushforward True --residual_head True --n_traj 100 \
         --scan_epoch False > logs/r5_mmpde_cy_dmm150.log 2>&1
-    echo "[$(stamp)] rc=$? ($(grep -c '^Epoch' logs/r5_mmpde_cy_dmm150.log) epochs)"
+    rc=$?
+    echo "[$(stamp)] rc=$rc ($(grep -c '^Epoch' logs/r5_mmpde_cy_dmm150.log) epochs)"
     c=$(solver_ckpt logs/r5_mmpde_cy_dmm150.log)
     if [ -n "$c" ] && [ -e "$c/state.msgpack" ]; then
         BEST="$c"; [ -e "$c/best/state.msgpack" ] && BEST="$c/best"
@@ -151,7 +155,8 @@ fi
 if have_time 900; then
     echo "[$(stamp)] === stage 4: bench refresh ==="
     timeout "$(tbudget 2400)" python -u bench.py > logs/r5_bench.log 2>&1
-    echo "[$(stamp)] bench rc=$? -> $(tail -1 logs/r5_bench.log)"
+    rc=$?
+    echo "[$(stamp)] bench rc=$rc -> $(tail -1 logs/r5_bench.log)"
     if [ -d .jax_cache ]; then
         mkdir -p .jax_cache_bench
         cp -n .jax_cache/* .jax_cache_bench/ 2>/dev/null

@@ -46,6 +46,7 @@ def tiny_data_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.fast  # the per-commit lane includes one real CLI main() drive
 def test_mmpde_plain_gnn_cli_tiny(tiny_data_root, tmp_path):
     r = _run([os.path.join(REPO, "mmpde.py"),
               "--moving_mesh", "False", "--base_resolution", "9,12,12",

@@ -1,5 +1,8 @@
 """DMM loss/sampler tests: analytic Monge-Ampere oracle, sampler shapes."""
 
+import pytest
+
+pytestmark = pytest.mark.fast  # per-commit quick lane (see pytest.ini)
 import jax
 import jax.numpy as jnp
 import numpy as np

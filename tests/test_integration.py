@@ -228,6 +228,7 @@ def test_burgers_lowres_cache_fallback(tmp_path):
     assert raw.shape[1] == 2  # regenerated at the requested nt
 
 
+@pytest.mark.fast
 def test_on_axon_runtime_detection(monkeypatch):
     """The axon remote-TPU plugin reports plain 'tpu' from
     jax.default_backend(), so the runtime-fault guards must NOT rely on

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
 from mmpde_tpu.models import DenseNet, ConvBranchNet, DMM, MPSolver2D, ItpNet, BaseCNN
 from mmpde_tpu.ops import knn_indices, uniform_grid
 from mmpde_tpu.dmm import branch_features, phi_derivatives, moved_mesh
@@ -146,6 +147,7 @@ def test_mpsolver_batch_independence():
                                rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_itpnet_modes():
     model = ItpNet(ori_nx=8, ori_ny=8)
     nb = jnp.ones((2, 10, 30, 2))
@@ -188,6 +190,7 @@ def test_basecnn3d_shape():
     assert out.shape == (2, 6, 6, 6)
 
 
+@pytest.mark.fast
 def test_gnn_factored_message_matches_concat():
     """The transform-then-gather message must equal the direct
     Dense-over-concat formulation (they share the same kernel)."""

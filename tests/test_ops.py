@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.fast  # per-commit quick lane (see pytest.ini)
 from scipy.spatial import cKDTree
 
 from mmpde_tpu.ops import (

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # per-commit quick lane (see pytest.ini)
+
 from mmpde_tpu.models import MPSolver2D
 from mmpde_tpu.pdes import burgers
 from mmpde_tpu.solver.data import GraphPipeline
