@@ -78,8 +78,9 @@ def get_args(argv=None):
                              'state, epoch)')
     parser.add_argument('--native_loader', type=eval, default=False,
                         help='use the C++ prefetching window loader '
-                             '(Burgers only; ships 2*tw frames per batch '
-                             'instead of full trajectories)')
+                             '(burgers and cy; ships 2*tw frames per '
+                             'batch instead of full trajectories; GNN, '
+                             'non-pushforward)')
     parser.add_argument('--residual_head', type=eval, default=False,
                         help='predict u_last + delta instead of the labels '
                              'directly (documented divergence; the '
@@ -281,7 +282,11 @@ def main(args):
         if dmm_vars is not None:
             dmm_vars = replicate(dp_mesh, dmm_vars)
 
-    use_native = bool(args.native_loader) and args.experiment == 'burgers' \
+    # experiment-agnostic: the streamed cache below is written from the
+    # ALREADY-preprocessed train/test arrays (load_experiment applied the
+    # subsampling / frame-drop / channel-select), and the C++ loader and
+    # windowed step treat spatial dims generically ([B, tw, *spatial])
+    use_native = bool(args.native_loader) \
         and args.model == 'GNN' and not args.pushforward
     # device-resident scan epochs: donation moves to the epoch driver.
     # Composes with --dp: the batch gathered inside the scan body gets a
@@ -350,11 +355,10 @@ def main(args):
     native_loader = None
     if use_native:
         from mmpde_tpu.data.native_loader import NativeWindowLoader
-        # subsampled view must exist as its own file for mmap; cache it
-        stride = 192 // args.base_resolution[1]
+        # the preprocessed view must exist as its own file for mmap; cache it
         sub_path = os.path.join(
             args.data_root,
-            f'burgers_{args.base_resolution[1]}_sub.npy')
+            f'{args.experiment}_{args.base_resolution[1]}_sub.npy')
         if not os.path.exists(sub_path):
             np.save(sub_path, np.ascontiguousarray(
                 np.concatenate([u_train, u_test], axis=0)))

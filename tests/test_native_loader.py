@@ -113,3 +113,50 @@ def test_native_loader_with_windowed_train_step(dataset, tmp_path):
         assert np.isfinite(loss)
     finally:
         loader.close()
+
+
+def test_native_loader_cy_windowed_train_step(tmp_path):
+    """Cylinder (unstructured, [n, nt, nodes]) batches through the same
+    native loader + window_input step — the CLI wiring mmpde.py uses now
+    that --native_loader is experiment-agnostic (the streamed cache holds
+    the ALREADY-preprocessed field; spatial dims are generic)."""
+    import jax
+    import jax.numpy as jnp
+    from mmpde_tpu.models import MPSolver2D
+    from mmpde_tpu.pdes import cy
+    from mmpde_tpu.solver.data import GraphPipeline
+    from mmpde_tpu.solver import train as T
+
+    nt, n_nodes = 7, 40
+    rng = np.random.default_rng(5)
+    mesh_pts = rng.uniform(0.05, 0.95, size=(n_nodes, 2)).astype(np.float32)
+    arr = rng.normal(size=(6, nt, n_nodes)).astype(np.float32)
+    path = str(tmp_path / "cy_field.npy")
+    np.save(path, arr)
+
+    pde = cy(ori_grid=mesh_pts, grid_size=(nt, n_nodes))
+    pipe = GraphPipeline(pde, neighbors=4, time_window=1, t_resolution=nt)
+    model = MPSolver2D(time_window=1, hidden_features=16, hidden_layer=1,
+                       dt=pde.dt, tmax=pde.tmax)
+    us = jnp.ones((3, pipe.n_nodes, 1))
+    ps = jnp.ones((3, pipe.n_nodes, 3))
+    v = model.init(jax.random.PRNGKey(0), us, ps, pipe.uniform_nbr)
+    opt = T.make_optimizer(1e-3)
+    params = {"model": v["params"]}
+    state = T.TrainState(params=params,
+                         batch_stats={"model": v["batch_stats"]},
+                         opt_state=opt.init(params),
+                         step=jnp.zeros((), jnp.int32))
+    step_fn = T.make_gnn_step(pipe, model, opt, train=True,
+                              window_input=True)
+    loader = NativeWindowLoader(path, batch_size=3, time_window=1,
+                                traj_lo=0, traj_hi=5, seed=0)
+    try:
+        assert loader.spatial == (n_nodes,)
+        nrng = np.random.default_rng(0)
+        state, loss = T.train_epoch_native(nrng, pipe, step_fn, state,
+                                           loader, n_traj=5,
+                                           max_unrolling=0, n_inner=2)
+        assert np.isfinite(loss)
+    finally:
+        loader.close()
