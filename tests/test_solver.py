@@ -132,7 +132,9 @@ def test_moving_mesh_two_branch_step(tiny_setup):
 @pytest.mark.parametrize("flags", [("MMPDE_FUSED_BRANCHES",),
                                    ("MMPDE_FUSED_ITP",),
                                    ("MMPDE_FUSED_BRANCHES",
-                                    "MMPDE_FUSED_ITP")])
+                                    "MMPDE_FUSED_ITP"),
+                                   ("MMPDE_FUSED_ITP",
+                                    "MMPDE_BF16_ITP")])
 def test_fused_paths_match_unfused(tiny_setup, monkeypatch, flags):
     """The fused fast paths must produce the same loss and updated state as
     the reference path: MMPDE_FUSED_BRANCHES=1 (both GNN branches in one
@@ -185,13 +187,18 @@ def test_fused_paths_match_unfused(tiny_setup, monkeypatch, flags):
                                  dmm_vars)
     s2, l2 = step_fused(fresh(), jnp.asarray(u[:2]), steps)
 
-    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    # bf16 interpolation einsums track f32 only to bf16 rounding (the op
+    # itself is tested at 5e-2 in test_bf16_itp_close_to_f32); the pure-f32
+    # fusions must match to reassociation noise
+    rtol, atol = ((2e-3, 1e-3) if "MMPDE_BF16_ITP" in flags
+                  else (1e-5, 1e-5))
+    np.testing.assert_allclose(float(l2), float(l1), rtol=rtol)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
     for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
                     jax.tree_util.tree_leaves(s2.batch_stats)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
 
     # the fused paths must also hold inside the pushforward step (the
     # moving + pushforward + fused combination is the r3b retry config)
@@ -205,7 +212,7 @@ def test_fused_paths_match_unfused(tiny_setup, monkeypatch, flags):
     push_fused = T.make_gnn_step(pipe, model, opt, model_b, itp, dmm,
                                  dmm_vars, pushforward=True)
     _, pl2 = push_fused(fresh(), jnp.asarray(u[:2]), steps, jnp.asarray(1))
-    np.testing.assert_allclose(float(pl2), float(pl1), rtol=1e-5)
+    np.testing.assert_allclose(float(pl2), float(pl1), rtol=rtol)
 
 
 def test_bf16_itp_close_to_f32(tiny_setup, monkeypatch):
