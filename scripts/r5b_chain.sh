@@ -105,9 +105,9 @@ fi
 CY80_LOG=logs/r5b_mmpde_cy80.log
 if [ ! -s "$CY80_LOG" ] && have_time 5400; then
     echo "[$(stamp)] === stage 4: MM-PDE cy 80 epochs x full-budget DMM ==="
-    CY_FLAGS="--experiment cy --base_resolution 30,2521 --lr 6e-4
-              --num_epochs 80 --unrolling 1 --pushforward True
-              --residual_head True --n_traj 100 --scan_epoch False"
+    # ONE LINE: this string becomes a bash -c command inside watchdog_run —
+    # an embedded newline splits it into separate (broken) commands
+    CY_FLAGS="--experiment cy --base_resolution 30,2521 --lr 6e-4 --num_epochs 80 --unrolling 1 --pushforward True --residual_head True --n_traj 100 --scan_epoch False"
     # shellcheck disable=SC2086
     bash scripts/watchdog_run.sh "$CY80_LOG" "$(tbudget 16200)" \
         "python -u mmpde.py $CY_FLAGS" \
@@ -129,9 +129,8 @@ PLAIN40=models/GNN_PDE_cy_meshFalse_xresolution30-2521_n35_knn_tw1_unrolling1_ti
 PLAIN_LOG=logs/r5b_gnn_cy80.log
 if [ ! -s "$PLAIN_LOG" ] && [ -e "$PLAIN40/state.msgpack" ] && have_time 3600; then
     echo "[$(stamp)] === stage 5: plain-GNN cy resume 40 -> 80 ==="
-    PLAIN_FLAGS="--experiment cy --moving_mesh False --base_resolution 30,2521
-                 --lr 6e-4 --num_epochs 80 --unrolling 1 --pushforward True
-                 --residual_head True --n_traj 100 --scan_epoch True"
+    # ONE LINE (see CY_FLAGS note)
+    PLAIN_FLAGS="--experiment cy --moving_mesh False --base_resolution 30,2521 --lr 6e-4 --num_epochs 80 --unrolling 1 --pushforward True --residual_head True --n_traj 100 --scan_epoch True"
     # shellcheck disable=SC2086
     bash scripts/watchdog_run.sh "$PLAIN_LOG" "$(tbudget 9000)" \
         "python -u mmpde.py $PLAIN_FLAGS --resume $PLAIN40" \
