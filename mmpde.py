@@ -299,15 +299,20 @@ def main(args):
                 and not (args.pushforward
                          and os.environ.get('MMPDE_STATIC_PUSH') == '1'))
     from mmpde_tpu.utils.env import on_axon_runtime
-    if (use_scan and args.pushforward and on_axon_runtime()
+    if (use_scan and args.pushforward and args.moving_mesh
+            and on_axon_runtime()
             and os.environ.get('MMPDE_FORCE_SCAN_PUSH') != '1'):
-        # the scan(cond(two-branch step)) program crashes the experimental
-        # axon TPU worker in its first execution (DIVERGENCES 41, r3+r4);
-        # the identical step runs fine per-batch and on other backends.
-        # MMPDE_FORCE_SCAN_PUSH=1 bypasses the guard (fault bisection only:
-        # scripts/bisect_scan_push_fault.sh in a dedicated chip window)
-        print('[mmpde] scan+pushforward faults the axon TPU runtime '
-              '(DIVERGENCES 41): falling back to per-batch epochs')
+        # the scan(cond(full-size MOVING-MESH two-branch step)) program
+        # crashes the experimental axon TPU worker in its first execution
+        # (DIVERGENCES 41, r3+r4; r5 bisection: kernel-independent, needs
+        # the moving-mesh body — plain-GNN scan+pushforward trained 50
+        # epochs clean at the same sizes in r3, so the guard is scoped to
+        # moving_mesh).  The identical step runs fine per-batch and on
+        # other backends.  MMPDE_FORCE_SCAN_PUSH=1 bypasses the guard
+        # (fault bisection only: scripts/bisect2_scan_push.sh in a
+        # dedicated chip window)
+        print('[mmpde] moving-mesh scan+pushforward faults the axon TPU '
+              'runtime (DIVERGENCES 41): falling back to per-batch epochs')
         use_scan = False
     if args.model == 'GNN':
         step_fn = T.make_gnn_step(pipe, model, optimizer, model_b, itp,
@@ -355,13 +360,20 @@ def main(args):
     native_loader = None
     if use_native:
         from mmpde_tpu.data.native_loader import NativeWindowLoader
-        # the preprocessed view must exist as its own file for mmap; cache it
+        # the preprocessed view must exist as its own file for mmap; cache
+        # it, and REWRITE on any shape mismatch — a cache written by a run
+        # with different n_traj/nt holds a different 80/20 split, and the
+        # C++ sampler trusts traj_hi without bounds-checking the mmap
+        full_view = np.ascontiguousarray(
+            np.concatenate([u_train, u_test], axis=0))
         sub_path = os.path.join(
             args.data_root,
             f'{args.experiment}_{args.base_resolution[1]}_sub.npy')
-        if not os.path.exists(sub_path):
-            np.save(sub_path, np.ascontiguousarray(
-                np.concatenate([u_train, u_test], axis=0)))
+        cached_shape = None
+        if os.path.exists(sub_path):
+            cached_shape = np.load(sub_path, mmap_mode='r').shape
+        if cached_shape != full_view.shape:
+            np.save(sub_path, full_view)
         native_loader = NativeWindowLoader(
             sub_path, args.batch_size, args.time_window,
             traj_lo=0, traj_hi=len(u_train), seed=args.seed)

@@ -37,15 +37,17 @@ def on_axon_runtime() -> bool:
     (DIVERGENCES.md #41)."""
     if "axon" in os.environ.get("JAX_PLATFORMS", ""):
         return True
+    # RuntimeError is in both nets: backends() INITIALIZES backends and
+    # raises it when no platform comes up — a probe, not a crash site
     try:  # public registry surface (jax>=0.4 jax.extend)
         from jax.extend.backend import backends
         return "axon" in backends()
-    except (ImportError, AttributeError):
+    except (ImportError, AttributeError, RuntimeError):
         pass
     try:  # private fallback for older jax
         from jax._src import xla_bridge
         return "axon" in xla_bridge.backends()
-    except (ImportError, AttributeError):
+    except (ImportError, AttributeError, RuntimeError):
         # Both probes broke (jax upgrade).  Failing open silently would
         # re-create the round-4 dead-guard bug (RESULTS.md round-4 tail),
         # so say so once and let JAX_PLATFORMS be the manual override.

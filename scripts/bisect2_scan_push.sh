@@ -50,19 +50,26 @@ run_stage() {  # run_stage tag timeout extra-env... -- extra-flags...
     [ "$ep" -ge 2 ] && verdict=PASS
     [ "$rc" -eq 124 ] && [ "$ep" -lt 2 ] && verdict=TIMEOUT-INCONCLUSIVE
     echo "[$(stamp)] $tag rc=$rc epochs=$ep -> $verdict"
-    [ "$verdict" = PASS ]
+    # distinct codes so callers never mistake SKIP/TIMEOUT for CRASH:
+    # 0=PASS, 1=CRASH, 3=TIMEOUT-INCONCLUSIVE (2=SKIP from the gate above)
+    case "$verdict" in PASS) return 0;; CRASH) return 1;; *) return 3;; esac
 }
 
 # shellcheck disable=SC2086
-if run_stage t0 1500 -- $TINY; then
+run_stage t0 1500 -- $TINY; t0=$?
+if [ "$t0" -ge 2 ]; then
+    echo "[$(stamp)] t0 SKIP/TIMEOUT — ladder stops (no verdict to act on)"
+elif [ "$t0" -eq 0 ]; then
     echo "[$(stamp)] tiny moving-mesh PASSES -> full-size ladder"
     run_stage f0 2400 -- ; f0=$?
-    if [ "$f0" -ne 0 ]; then
+    if [ "$f0" -eq 1 ]; then
         run_stage f1_nopallas 2400 MMPDE_PALLAS=0 --
         run_stage f2_exactknn 2400 MMPDE_LOCAL_KNN=0 MMPDE_GRID_KNN=0 --
-    else
+    elif [ "$f0" -eq 0 ]; then
         echo "[$(stamp)] f0 PASSED: the fault is GONE at the current program"
         echo "[$(stamp)] (unroll-layers default changed the program since r4)"
+    else
+        echo "[$(stamp)] f0 SKIP/TIMEOUT — ingredient stages would be meaningless, stopping"
     fi
 else
     echo "[$(stamp)] tiny moving-mesh CRASHES -> tiny knob ladder"

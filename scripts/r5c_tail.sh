@@ -50,7 +50,8 @@ fi
 
 # ---- 2. input-noise fine-tune at damp 0 ----
 FLAG39=models/GNN_PDE_burgers_meshTrue_xresolution31-48_n35_knn_tw1_unrolling1_time08-20-23-39-40
-if [ ! -s logs/r5c_inoise_ft.log ] && have_time 2700; then
+if [ ! -s logs/r5c_inoise_ft.log ] && [ ! -s logs/r5b_inoise_ft.log ] \
+       && have_time 2700; then
     echo "[$(stamp)] === tail 2: input-noise 0.01 fine-tune (damp 0) ==="
     timeout "$(tbudget 3600)" python -u mmpde.py --lr 6e-4 --num_epochs 55 \
         --unrolling 1 --pushforward True --residual_head True --n_traj 100 \
@@ -76,7 +77,8 @@ if [ ! -s logs/r5c_inoise_ft.log ] && have_time 2700; then
 fi
 
 # ---- 3. 96x96 plain-GNN short run ----
-if [ ! -s logs/r5c_gnn96.log ] && have_time 1500; then
+if [ ! -s logs/r5c_gnn96.log ] && [ ! -s logs/r5b_gnn96.log ] \
+       && have_time 1500; then
     echo "[$(stamp)] === tail 3: 96x96 plain-GNN short run ==="
     timeout "$(tbudget 3000)" python -u mmpde.py --moving_mesh False \
         --base_resolution 31,96,96 --num_epochs 5 --n_traj 50 \

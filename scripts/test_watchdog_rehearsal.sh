@@ -17,8 +17,8 @@ STALL_S=5 WARMUP_STALL_S=5 POLL_S=2 MAX_RESUMES=2 \
 bash /root/repo/scripts/watchdog_run.sh "$LOG" 120 \
     "python -u /root/repo/scripts/_fake_trainer.py --ckpt_dir $CKPT" \
     "python -u /root/repo/scripts/_fake_trainer.py --ckpt_dir $CKPT --resume {CKPT}" \
-    2> "$WORK/wd.log"
-rc=$?
+    2> "$WORK/wd.log" || rc=$?
+rc=${rc:-0}  # set -e must not skip the diagnostics below on failure
 
 echo "--- watchdog stderr ---"; cat "$WORK/wd.log"
 echo "--- run log tail ---"; tail -5 "$LOG"

@@ -77,7 +77,13 @@ while :; do
             echo "[$(stamp)] watchdog: no resume available (resumes=$resumes), giving up" >&2
             rc=125; break
         fi
-        ckpt=$(grep -oE '^models/[^ ]+' "$LOG" | tail -1)
+        # newest-to-oldest: every (re)launch prints a NEW save dir, and a
+        # relaunch that stalls before its first save must fall back to the
+        # previous launch's checkpoint, not restart from scratch
+        ckpt=""
+        for c in $(grep -oE '^models/[^ ]+' "$LOG" | tac); do
+            [ -e "$c/state.msgpack" ] && { ckpt=$c; break; }
+        done
         if [ -n "$ckpt" ] && [ -e "$ckpt/state.msgpack" ]; then
             cmd=${RESUME_CMD//\{CKPT\}/$ckpt}
         else
