@@ -91,10 +91,10 @@ if [ ! -s logs/r5c_gnn96.log ] && [ ! -s logs/r5b_gnn96.log ] \
         "$c" logs/r5c_gnn96.log
 fi
 
-# ---- 4. cache seed refresh ----
-if [ -d .jax_cache ]; then
-    mkdir -p .jax_cache_seed
-    cp -n .jax_cache/* .jax_cache_seed/ 2>/dev/null
-    ckpt_commit "r5c cache seed refresh" .jax_cache_seed
-fi
+# NOTE: no cache-seed refresh here — the committed seeds
+# (.jax_cache_seed 1.8G, .jax_cache_bench 259M) already cover the bench
+# and CLI programs, the repo pack is at 4 GiB, and this is the final
+# round: bulk-copying the 5.9G active cache would double the repo for
+# zero future compile savings.  (The r5b stage-6 copy is neutralized the
+# same way: both seed dirs are chmod 555 for the rest of the round.)
 echo "[$(stamp)] === r5c tail done ==="
