@@ -47,7 +47,9 @@ import numpy as np
 # of the bench harness itself (CPU), NOT for reported numbers
 NX = int(os.environ.get("MMPDE_BENCH_NX", 48))
 NT = int(os.environ.get("MMPDE_BENCH_NT", 31))
-BATCH = 6
+BATCH = int(os.environ.get("MMPDE_BENCH_BATCH", 6))  # throughput mode: >6
+# amortizes HBM traffic over more samples (the headline metric stays the
+# reference's batch-6 training step; see RESULTS round 5)
 K = int(os.environ.get("MMPDE_BENCH_K", 35))
 HIDDEN = 128
 LAYERS = 6
